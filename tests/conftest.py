@@ -1,0 +1,14 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices (the driver separately
+dry-runs `__graft_entry__.dryrun_multichip`); benches run on the real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
