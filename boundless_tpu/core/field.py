@@ -285,6 +285,25 @@ def ext_inv(a):
     return mul(out, norm_inv[..., None])
 
 
+def sum_mod(x, axis: int = 0):
+    """Modular sum along `axis` via a log-depth tree of `add` ops.
+
+    jnp.sum would overflow uint32; this keeps every partial in [0, P) and
+    maps to pure vector ops (pad to a power of two, halve repeatedly).
+    """
+    x = jnp.moveaxis(x.astype(_U32), axis, 0)
+    n = x.shape[0]
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        pad = jnp.zeros((pow2 - n,) + x.shape[1:], dtype=_U32)
+        x = jnp.concatenate([x, pad], axis=0)
+        n = pow2
+    while n > 1:
+        n //= 2
+        x = add(x[:n], x[n:])
+    return x[0]
+
+
 # ---------------------------------------------------------------------------
 # Exact Python-int reference helpers (used by tests and host-side transcript)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Poseidon2 permutation / sponge over Baby Bear (TPU-native, batched).
+
+Replaces the CUDA Poseidon2 kernels the reference uses for Merkle hashing
+and Fiat-Shamir (via `risc0-sys`, SURVEY.md §2.4). Geometry follows the
+risc0 / Poseidon2-paper Baby Bear instance:
+
+  * width t = 24 cells, rate 16, capacity 8, digest = 8 cells
+  * 8 external (full) rounds (4 + 4), 21 internal (partial) rounds
+  * S-box x^7  (gcd(7, P-1) = 1, a permutation)
+  * external matrix M_E = circ(2*M4, M4, ..., M4) with the paper's
+    M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]]
+  * internal matrix M_I = J + diag(mu)  (J = all-ones)
+
+Round constants and the internal diagonal are generated deterministically
+("nothing up my sleeve") from SHA-256 counters; they intentionally form our
+own parameter set — bit-exact interop with risc0's constants would require
+vendoring their tables (tracked as future work in README).
+
+All functions are batched: a state is a uint32 Montgomery array (..., 24),
+and any number of permutations run in parallel on the VPU lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+
+WIDTH = 24
+RATE = 16
+CAPACITY = 8
+DIGEST_WORDS = 8
+ROUNDS_FULL = 8  # 4 + 4
+ROUNDS_PARTIAL = 21
+SBOX_DEGREE = 7
+
+M4 = np.array(
+    [[5, 7, 1, 3], [4, 6, 1, 1], [1, 3, 5, 7], [1, 1, 4, 6]], dtype=np.int64
+)
+
+
+def _nothing_up_my_sleeve(tag: bytes, count: int) -> np.ndarray:
+    """Deterministic field constants from SHA-256 counter mode (canonical)."""
+    out = np.empty(count, dtype=np.int64)
+    for i in range(count):
+        h = hashlib.sha256(b"boundless-tpu.poseidon2.babybear.v1:" + tag + b":" + str(i).encode()).digest()
+        out[i] = int.from_bytes(h[:8], "little") % F.P
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _constants():
+    """(external_rc (8,24), internal_rc (21,), mu (24,)) in Montgomery form."""
+    ext_rc = _nothing_up_my_sleeve(b"ext", ROUNDS_FULL * WIDTH).reshape(ROUNDS_FULL, WIDTH)
+    int_rc = _nothing_up_my_sleeve(b"int", ROUNDS_PARTIAL)
+    mu = _nothing_up_my_sleeve(b"diag", WIDTH)
+    to = lambda a: np.vectorize(F.mont)(a).astype(np.uint32)
+    return to(ext_rc), to(int_rc), to(mu)
+
+
+def _sbox(x):
+    x2 = F.mul(x, x)
+    x3 = F.mul(x2, x)
+    x6 = F.mul(x3, x3)
+    return F.mul(x6, x)
+
+
+def _mul_m4(chunk):
+    """M4 @ chunk for chunk (..., 4), via shift-add (entries <= 7)."""
+    x0, x1, x2, x3 = (chunk[..., i] for i in range(4))
+
+    def small(x, c):
+        # c * x via doubling chains, c in 1..7
+        if c == 1:
+            return x
+        if c == 2:
+            return F.add(x, x)
+        if c == 3:
+            return F.add(F.add(x, x), x)
+        if c == 4:
+            d = F.add(x, x)
+            return F.add(d, d)
+        if c == 5:
+            d = F.add(x, x)
+            return F.add(F.add(d, d), x)
+        if c == 6:
+            t = F.add(F.add(x, x), x)
+            return F.add(t, t)
+        if c == 7:
+            d = F.add(x, x)
+            q = F.add(d, d)
+            return F.add(F.add(q, d), x)
+        raise ValueError(c)
+
+    rows = []
+    for r in range(4):
+        acc = None
+        for c, x in zip(M4[r], (x0, x1, x2, x3)):
+            term = small(x, int(c))
+            acc = term if acc is None else F.add(acc, term)
+        rows.append(acc)
+    return jnp.stack(rows, axis=-1)
+
+
+def _external_linear(state):
+    """M_E @ state: per-4-chunk M4 product plus the chunk-sum broadcast."""
+    s = state.reshape(state.shape[:-1] + (WIDTH // 4, 4))
+    t = _mul_m4(s)  # (..., 6, 4)
+    total = F.sum_mod(t, axis=-2)  # (..., 4)
+    out = F.add(t, total[..., None, :])
+    return out.reshape(state.shape)
+
+
+def _internal_linear(state, mu):
+    total = F.sum_mod(state, axis=-1)  # (...,)
+    return F.add(F.mul(state, mu), total[..., None])
+
+
+def permute(state):
+    """Poseidon2 permutation on (..., 24) Montgomery uint32 state."""
+    ext_rc, int_rc, mu = _constants()
+    ext_rc = jnp.asarray(ext_rc)
+    int_rc = jnp.asarray(int_rc)
+    mu = jnp.asarray(mu)
+    half = ROUNDS_FULL // 2
+
+    state = _external_linear(state)  # initial linear layer (Poseidon2 spec)
+    for r in range(half):
+        state = F.add(state, ext_rc[r])
+        state = _sbox(state)
+        state = _external_linear(state)
+    for r in range(ROUNDS_PARTIAL):
+        s0 = _sbox(F.add(state[..., 0], int_rc[r]))
+        state = state.at[..., 0].set(s0)
+        state = _internal_linear(state, mu)
+    for r in range(half, ROUNDS_FULL):
+        state = F.add(state, ext_rc[r])
+        state = _sbox(state)
+        state = _external_linear(state)
+    return state
+
+
+def hash_elems(elems):
+    """Sponge-hash rows of Baby Bear elements.
+
+    elems: (..., L) Montgomery uint32; hashes along the last axis, absorbing
+    RATE elements per permutation (zero-padded final block — callers hash
+    fixed-length rows, e.g. Merkle leaves over trace columns).
+    Returns a digest (..., 8) in Montgomery form.
+    """
+    batch = elems.shape[:-1]
+    length = elems.shape[-1]
+    blocks = max(1, -(-length // RATE))
+    padded = jnp.zeros(batch + (blocks * RATE,), dtype=jnp.uint32)
+    padded = padded.at[..., :length].set(elems)
+    state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
+    for b in range(blocks):
+        block = padded[..., b * RATE : (b + 1) * RATE]
+        state = state.at[..., :RATE].set(F.add(state[..., :RATE], block))
+        state = permute(state)
+    return state[..., :DIGEST_WORDS]
+
+
+def hash_pair(left, right):
+    """2-to-1 compression of two digests (..., 8) -> (..., 8)."""
+    batch = left.shape[:-1]
+    state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
+    state = state.at[..., :DIGEST_WORDS].set(left)
+    state = state.at[..., DIGEST_WORDS : 2 * DIGEST_WORDS].set(right)
+    return permute(state)[..., :DIGEST_WORDS]
+
+
+def digest_canonical(digest):
+    """Montgomery digest -> canonical uint32 words (for wire formats)."""
+    return F.from_mont(digest)

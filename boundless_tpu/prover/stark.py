@@ -1,0 +1,463 @@
+"""Generic DEEP-ALI STARK prover/verifier over Baby Bear (TPU-native).
+
+This is the TPU replacement for the reference's `ProverServer::prove_segment`
+core (CUDA kernels in `risc0-sys`/`risc0-circuit-*-sys`; call-site
+`prover/crates/workflow/src/tasks/prove.rs:43-49`, SURVEY.md §2.4 / §3.1).
+
+Protocol shape (risc0-style, self-consistent parameterization):
+
+  trace groups ctrl/data/accum on H_N  →  rate-1/4 LDE on coset g*H_{4N}
+  → Poseidon2 Merkle commitments → constraint mix α (ext) → composition
+  Q(x) = Σ_k α^k C_k(T(x), T(gx)) / (x^N - 1), split into 4 polys Q_i of
+  degree < N committed as 16 base columns → DEEP point z (ext): open taps
+  T_j(z), T_j(z·g_N), Q_i(z^4) → DEEP batch mix β → combined quotient
+  combo(x) = Σ_j β^j (P_j(x) - P_j(p_j)) / (x - p_j) → FRI low-degree
+  proof (fold 16, 50 queries, rate 1/4) with Merkle openings of every
+  group at the FRI query points.
+
+The entire `prove` (and `verify`) traces into a single XLA program:
+transcript, hashing, NTTs, constraint evaluation, FRI — there is no
+host↔device ping-pong inside a proof.
+
+Max constraint degree is 5 (composition degree ≤ 4N - 5 < 4N).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import field as F
+from ..core import fri, merkle
+from ..core import ntt as NTT
+from ..core.fri import _np_powers
+from ..core.transcript import Transcript
+from ..air.dsl import Air, BaseAlg, ExtAlg, Columns
+
+INV_RATE = 4
+EXT = 4
+CHECK_SPLIT = 4  # composition split factor
+CHECK_COLS = CHECK_SPLIT * EXT  # 16 base columns
+
+
+@dataclasses.dataclass(frozen=True)
+class ProofSystem:
+    queries: int = 50
+    fri_min_degree: int = 256
+
+
+class GroupOpening(NamedTuple):
+    rows: jnp.ndarray  # (Q, C)
+    paths: jnp.ndarray  # (Q, depth, 8)
+
+
+class SegmentProof(NamedTuple):
+    po2: int  # static
+    ctrl_root: Optional[jnp.ndarray]
+    data_root: jnp.ndarray
+    accum_root: Optional[jnp.ndarray]
+    check_root: jnp.ndarray
+    taps_ctrl: Optional[jnp.ndarray]  # (ctrl_cols, 2, 4): taps at z, z*gN
+    taps_data: jnp.ndarray  # (data_cols, 2, 4)
+    taps_accum: Optional[jnp.ndarray]  # (accum_cols, 2, 4)
+    taps_check: jnp.ndarray  # (16, 4): taps at z^4
+    open_ctrl: Optional[GroupOpening]
+    open_data: GroupOpening
+    open_accum: Optional[GroupOpening]
+    open_check: GroupOpening
+    fri_proof: fri.FriProof
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _lde_commit(trace):
+    """trace (N, C) on H_N -> (coeffs (N, C), evals (4N, C), MerkleTree)."""
+    coeffs = NTT.interpolate(trace)
+    evals = NTT.coset_evaluate(coeffs, expand=INV_RATE)
+    return coeffs, evals, merkle.commit(evals)
+
+
+# Constraint values: base arrays ((M,) pointwise / (4,)-ext at DEEP) or
+# ExtVal-wrapped ext arrays ((M,4) pointwise). At the DEEP point every value
+# is already an ext (4,) array, wrapped or not.
+
+
+class ExtVal:
+    """Marker wrapper for extension-field constraint values."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+
+def combine_constraints(cons, alpha, at_deep: bool):
+    """Σ_k α^k ⊙ C_k -> (..., 4). cons items: array (base) or ExtVal (ext)."""
+    acc = None
+    weight = None  # α^k
+    for k, c in enumerate(cons):
+        w = None if k == 0 else weight
+        is_ext = isinstance(c, ExtVal) or at_deep
+        if isinstance(c, ExtVal):
+            c = c.v
+        if is_ext:
+            term = c if w is None else F.ext_mul(jnp.broadcast_to(w, c.shape), c)
+        else:
+            term = F.ext_from_base(c) if w is None else F.ext_scale(
+                jnp.broadcast_to(w, c.shape + (EXT,)), c)
+        acc = term if acc is None else F.ext_add(acc, term)
+        weight = alpha if k == 0 else F.ext_mul(weight, alpha)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _domain_tables(n: int):
+    """Host tables for the coset g*H_{4N}: x (Mont), 1/Z(x) (Mont)."""
+    big = INV_RATE * n
+    w = F.ROU_FWD[big.bit_length() - 1]
+    xs = _np_powers(w, big) * F.GENERATOR % F.P
+    # Z(x) = x^N - 1 = g^N * w^{iN} - 1; w^N has order 4 -> cyclic pattern.
+    gn = pow(F.GENERATOR, n, F.P)
+    wn = pow(int(w), n, F.P)
+    zvals = []
+    for i in range(INV_RATE):
+        zvals.append((gn * pow(wn, i, F.P) - 1) % F.P)
+    zinv = [pow(v, F.P - 2, F.P) for v in zvals]
+    inv_z = np.tile(np.array(zinv, dtype=np.int64), big // INV_RATE)
+    to_mont = lambda a: (a * (1 << 32) % F.P).astype(np.uint32)
+    return to_mont(xs), to_mont(inv_z)
+
+
+def _ext_basis(c: int):
+    """The extension basis element X^c as an ext constant."""
+    z = np.zeros(4, dtype=np.int64)
+    z[c] = 1
+    return F.ext(z)
+
+
+def _recombine_check_taps(taps_check):
+    """(16,4) base-component taps -> Q_i(z^4) ext values (4,4)."""
+    qs = []
+    for i in range(CHECK_SPLIT):
+        acc = None
+        for c in range(EXT):
+            term = F.ext_mul(taps_check[i * EXT + c], _ext_basis(c))
+            acc = term if acc is None else F.ext_add(acc, term)
+        qs.append(acc)
+    return jnp.stack(qs)
+
+
+def _weighted_col_sum(evals, weights, chunk: int = 8):
+    """Σ_j weights[j] ⊙ evals[:, j] -> (M, 4).
+
+    evals (M, C) base, weights (C, 4) ext. Chunked to bound memory.
+    """
+    m, c = evals.shape
+    acc = jnp.zeros((m, EXT), dtype=jnp.uint32)
+    for c0 in range(0, c, chunk):
+        c1 = min(c0 + chunk, c)
+        terms = F.mul(evals[:, c0:c1, None], weights[None, c0:c1, :])
+        acc = F.ext_add(acc, F.sum_mod(terms, axis=1))
+    return acc
+
+
+def _beta_powers(beta, count: int):
+    """β^0..β^{count-1}, shape (count, 4)."""
+    return NTT.ext_powers(beta, count)
+
+
+class _TapGeometry(NamedTuple):
+    """Static description of which columns open at which DEEP points."""
+
+    group_cols: tuple  # (ctrl, data, accum) column counts
+
+
+def _deep_points(z, n: int):
+    """The three DEEP opening points: z, z*g_N, z^4."""
+    g_n = jnp.uint32(F.mont(F.ROU_FWD[n.bit_length() - 1]))
+    zg = F.ext_scale(z, g_n)
+    z4 = F.ext_pow_const(z, 4)
+    return z, zg, z4
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+def prove(air: Air, data_trace, pub_digest, po2: int,
+          ps: ProofSystem = ProofSystem()) -> SegmentProof:
+    """Prove one segment. Fully jittable for fixed (air, po2, ps)."""
+    n = 1 << po2
+    assert data_trace.shape == (n, air.data_cols)
+    big = INV_RATE * n
+
+    tr = Transcript()
+    tr.mix_digest(pub_digest)
+
+    # --- commit ctrl (circuit-static) and data ---
+    has_ctrl = air.ctrl_cols > 0
+    has_accum = air.accum_cols > 0
+    ctrl_trace = air.ctrl_trace(n) if has_ctrl else None
+    if has_ctrl:
+        ctrl_coeffs, ctrl_evals, ctrl_tree = _lde_commit(ctrl_trace)
+        tr.mix_digest(ctrl_tree.root)
+    data_coeffs, data_evals, data_tree = _lde_commit(data_trace)
+    tr.mix_digest(data_tree.root)
+
+    # --- phase 2: mix challenges + accumulators ---
+    globals_ = (jnp.stack([tr.sample_ext() for _ in range(air.globals_count)])
+                if air.globals_count else jnp.zeros((0, EXT), jnp.uint32))
+    if has_accum:
+        accum_trace = air.accum_trace(ctrl_trace, data_trace, globals_)
+        accum_coeffs, accum_evals, accum_tree = _lde_commit(accum_trace)
+        tr.mix_digest(accum_tree.root)
+
+    alpha = tr.sample_ext()
+
+    # --- composition polynomial over the big domain ---
+    def col_view(evals, shiftrows):
+        if evals is None:
+            return None
+        return jnp.roll(evals, -shiftrows, axis=0) if shiftrows else evals
+
+    now = Columns(
+        ctrl=_ColAccessor(ctrl_evals if has_ctrl else None),
+        data=_ColAccessor(data_evals),
+        accum=_ColAccessor(accum_evals if has_accum else None),
+    )
+    nxt = Columns(
+        ctrl=_ColAccessor(col_view(ctrl_evals if has_ctrl else None, INV_RATE)),
+        data=_ColAccessor(col_view(data_evals, INV_RATE)),
+        accum=_ColAccessor(col_view(accum_evals if has_accum else None, INV_RATE)),
+    )
+    cons = air.constraints(BaseAlg(), now, nxt, globals_)
+    combined = combine_constraints(cons, alpha, at_deep=False)  # (4N, 4)
+    _, inv_z = _domain_tables(n)
+    q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
+
+    # Interpolate Q on the coset (degree <= 4N-5, exact).
+    q_coeffs = NTT.coset_interpolate(q_evals, expand=1)  # (4N, 4)
+    # Split Q(x) = Σ_i x^i Q_i(x^4); commit the 16 base component columns.
+    check_coeffs = jnp.concatenate(
+        [q_coeffs[i::CHECK_SPLIT] for i in range(CHECK_SPLIT)], axis=1
+    )  # (N, 16): col i*4+c = component c of Q_i
+    check_evals = NTT.coset_evaluate(check_coeffs, expand=INV_RATE)
+    check_tree = merkle.commit(check_evals)
+    tr.mix_digest(check_tree.root)
+
+    # --- DEEP taps ---
+    z = tr.sample_ext()
+    z_, zg, z4 = _deep_points(z, n)
+
+    def taps_of(coeffs):
+        at_z = NTT.eval_poly_ext(coeffs, z_)  # (C, 4)
+        at_zg = NTT.eval_poly_ext(coeffs, zg)
+        return jnp.stack([at_z, at_zg], axis=1)  # (C, 2, 4)
+
+    taps_ctrl = taps_of(ctrl_coeffs) if has_ctrl else None
+    taps_data = taps_of(data_coeffs)
+    taps_accum = taps_of(accum_coeffs) if has_accum else None
+    taps_check = NTT.eval_poly_ext(check_coeffs, z4)  # (16, 4)
+
+    all_taps = [t for t in (taps_ctrl, taps_data, taps_accum) if t is not None]
+    tr.mix_elems(jnp.concatenate(
+        [t.reshape(-1) for t in all_taps] + [taps_check.reshape(-1)]))
+
+    # --- DEEP combination ---
+    beta = tr.sample_ext()
+    group_evals = [e for e in (
+        ctrl_evals if has_ctrl else None, data_evals,
+        accum_evals if has_accum else None) if e is not None]
+    trace_evals = jnp.concatenate(group_evals, axis=1)  # (4N, Ct)
+    trace_taps = jnp.concatenate(all_taps, axis=0)  # (Ct, 2, 4)
+    combo = _deep_combo_evals(trace_evals, trace_taps, check_evals,
+                              taps_check, beta, z_, zg, z4, n)
+
+    # --- FRI ---
+    fri_proof, indices = fri.prove(tr, combo, queries=ps.queries,
+                                   min_degree=ps.fri_min_degree)
+
+    def open_group(tree):
+        rows, paths = merkle.open_rows(tree, indices)
+        return GroupOpening(rows, paths)
+
+    return SegmentProof(
+        po2=po2,
+        ctrl_root=ctrl_tree.root if has_ctrl else None,
+        data_root=data_tree.root,
+        accum_root=accum_tree.root if has_accum else None,
+        check_root=check_tree.root,
+        taps_ctrl=taps_ctrl,
+        taps_data=taps_data,
+        taps_accum=taps_accum,
+        taps_check=taps_check,
+        open_ctrl=open_group(ctrl_tree) if has_ctrl else None,
+        open_data=open_group(data_tree),
+        open_accum=open_group(accum_tree) if has_accum else None,
+        open_check=open_group(check_tree),
+        fri_proof=fri_proof,
+    )
+
+
+class _ColAccessor:
+    """cols[i] -> (M,) base array (pointwise) — see also _TapAccessor."""
+
+    def __init__(self, evals):
+        self._evals = evals
+
+    def __getitem__(self, i):
+        return self._evals[:, i]
+
+
+class _TapAccessor:
+    """cols[i] -> (4,) ext tap value (DEEP evaluation)."""
+
+    def __init__(self, taps, offset_idx):
+        self._taps = taps
+        self._o = offset_idx
+
+    def __getitem__(self, i):
+        return self._taps[i, self._o]
+
+
+def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
+                      beta, z, zg, z4, n: int):
+    """combo(x) = Σ_p (Σ_{j∈p} β^j P_j(x) - Σ_{j∈p} β^j v_j) / (x - p)."""
+    big = INV_RATE * n
+    ct = trace_evals.shape[1]
+    total = 2 * ct + CHECK_COLS
+    betas = _beta_powers(beta, total)
+    w_z = betas[:ct]
+    w_zg = betas[ct : 2 * ct]
+    w_check = betas[2 * ct :]
+
+    xs_np, _ = _domain_tables(n)
+    xs = jnp.asarray(xs_np)  # (4N,) base
+
+    combo = jnp.zeros((big, EXT), dtype=jnp.uint32)
+    for point, weights, evals, taps in (
+        (z, w_z, trace_evals, trace_taps[:, 0]),
+        (zg, w_zg, trace_evals, trace_taps[:, 1]),
+        (z4, w_check, check_evals, taps_check),
+    ):
+        s = _weighted_col_sum(evals, weights)  # (4N, 4)
+        cp = F.sum_mod(F.ext_mul(weights, taps), axis=0)  # (4,)
+        num = F.ext_sub(s, jnp.broadcast_to(cp, s.shape))
+        den = F.ext_sub(F.ext_from_base(xs), jnp.broadcast_to(point, (big, EXT)))
+        combo = F.ext_add(combo, F.ext_mul(num, F.ext_inv(den)))
+    return combo
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+
+def verify(air: Air, proof: SegmentProof, pub_digest, control_root=None,
+           ps: ProofSystem = ProofSystem()):
+    """Verify a SegmentProof. Returns a scalar bool array.
+
+    `control_root`: the circuit's known ctrl-group Merkle root ("control
+    ID"); required iff the AIR has ctrl columns.
+    """
+    n = 1 << proof.po2
+    big = INV_RATE * n
+    has_ctrl = air.ctrl_cols > 0
+    has_accum = air.accum_cols > 0
+
+    tr = Transcript()
+    tr.mix_digest(pub_digest)
+    if has_ctrl:
+        assert control_root is not None
+        tr.mix_digest(control_root)
+    tr.mix_digest(proof.data_root)
+    globals_ = (jnp.stack([tr.sample_ext() for _ in range(air.globals_count)])
+                if air.globals_count else jnp.zeros((0, EXT), jnp.uint32))
+    if has_accum:
+        tr.mix_digest(proof.accum_root)
+    alpha = tr.sample_ext()
+    tr.mix_digest(proof.check_root)
+    z = tr.sample_ext()
+    z_, zg, z4 = _deep_points(z, n)
+
+    all_taps = [t for t in (proof.taps_ctrl, proof.taps_data,
+                            proof.taps_accum) if t is not None]
+    tr.mix_elems(jnp.concatenate(
+        [t.reshape(-1) for t in all_taps] + [proof.taps_check.reshape(-1)]))
+    beta = tr.sample_ext()
+
+    # --- ALI check at z ---
+    now = Columns(
+        ctrl=_TapAccessor(proof.taps_ctrl, 0) if has_ctrl else None,
+        data=_TapAccessor(proof.taps_data, 0),
+        accum=_TapAccessor(proof.taps_accum, 0) if has_accum else None,
+    )
+    nxt = Columns(
+        ctrl=_TapAccessor(proof.taps_ctrl, 1) if has_ctrl else None,
+        data=_TapAccessor(proof.taps_data, 1),
+        accum=_TapAccessor(proof.taps_accum, 1) if has_accum else None,
+    )
+    cons = air.constraints(ExtAlg(), now, nxt, globals_)
+    combined = combine_constraints(cons, alpha, at_deep=True)
+    z_pow_n = F.ext_pow_const(z_, n)
+    zz = F.ext_sub(z_pow_n, F.ext_ones(()))  # Z(z) = z^N - 1
+    qs = _recombine_check_taps(proof.taps_check)  # (4, 4)
+    zpows = NTT.ext_powers(z_, CHECK_SPLIT)  # (4, 4)
+    q_at_z = F.sum_mod(F.ext_mul(zpows, qs), axis=0)
+    ok = jnp.all(F.sub(combined, F.ext_mul(zz, q_at_z)) == 0)
+
+    # --- FRI + query checks ---
+    fri_ok, indices, round0 = fri.verify(tr, proof.fri_proof, big,
+                                         queries=ps.queries,
+                                         min_degree=ps.fri_min_degree)
+    ok = ok & fri_ok
+
+    roots_openings = [(proof.check_root, proof.open_check)]
+    if has_ctrl:
+        roots_openings.append((control_root, proof.open_ctrl))
+    roots_openings.append((proof.data_root, proof.open_data))
+    if has_accum:
+        roots_openings.append((proof.accum_root, proof.open_accum))
+    for root, opening in roots_openings:
+        ok = ok & jnp.all(merkle.verify_rows(root, indices, opening.rows,
+                                             opening.paths))
+
+    # Recompute combo at the query points from the opened rows
+    # (order must match the prover: ctrl, data, accum).
+    parts = []
+    if has_ctrl:
+        parts.append(proof.open_ctrl.rows)
+    parts.append(proof.open_data.rows)
+    if has_accum:
+        parts.append(proof.open_accum.rows)
+    trace_rows = jnp.concatenate(parts, axis=1)  # (Q, Ct)
+    trace_taps = jnp.concatenate(all_taps, axis=0)
+
+    ct = trace_rows.shape[1]
+    betas = _beta_powers(beta, 2 * ct + CHECK_COLS)
+    xs_np, _ = _domain_tables(n)
+    x_at = jnp.asarray(xs_np)[indices]  # (Q,) base
+
+    expected = jnp.zeros((ps.queries, EXT), dtype=jnp.uint32)
+    for point, weights, rows, taps in (
+        (z_, betas[:ct], trace_rows, trace_taps[:, 0]),
+        (zg, betas[ct : 2 * ct], trace_rows, trace_taps[:, 1]),
+        (z4, betas[2 * ct :], proof.open_check.rows, proof.taps_check),
+    ):
+        s = _weighted_col_sum(rows, weights)  # (Q, 4)
+        cp = F.sum_mod(F.ext_mul(weights, taps), axis=0)
+        num = F.ext_sub(s, jnp.broadcast_to(cp, s.shape))
+        den = F.ext_sub(F.ext_from_base(x_at),
+                        jnp.broadcast_to(point, (ps.queries, EXT)))
+        expected = F.ext_add(expected, F.ext_mul(num, F.ext_inv(den)))
+    ok = ok & jnp.all(F.sub(expected, round0) == 0)
+    return ok

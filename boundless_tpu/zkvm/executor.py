@@ -1,0 +1,313 @@
+"""rv32im executor: cycle-accurate interpreter with segmentation.
+
+TPU-framework equivalent of the reference's `ExecutorImpl::run_with_callback`
+host loop (reference `prover/crates/workflow/src/tasks/executor.rs:721-786`):
+runs the guest, counts cycles, cuts the execution into 2^po2-cycle segments
+(continuations), records the per-segment witness needed by the segment
+prover, and implements the guest<->host ABI (journal commit, input reads,
+assumption verification for composition).
+
+Guest ABI (our own, documented — guests are assembled in-repo, see asm.py):
+  ecall with t0 =
+    0 HALT        a0 = exit code (journal finalized)
+    1 COMMIT      a0 = ptr, a1 = len   append bytes to the journal
+    2 READ        a0 = ptr, a1 = max   read input bytes, count -> a0
+    3 LOG         a0 = ptr, a1 = len   host log (guest stdout)
+    4 VERIFY      a0 = ptr to 32-byte claim digest: record an assumption
+                  (composition — resolved at the resolve stage, SURVEY §3.1)
+  Every non-halt ecall costs 1 cycle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import isa
+
+HALT, COMMIT, READ, LOG, VERIFY = range(5)
+
+M32 = 0xFFFFFFFF
+
+
+class GuestFault(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class MemoryImage:
+    """Program image: sparse word memory + entry point."""
+
+    words: dict  # addr -> u32 (word-aligned addresses)
+    entry: int
+
+    @staticmethod
+    def from_words(words, base: int = 0x1000, entry: Optional[int] = None):
+        mem = {base + 4 * i: w & M32 for i, w in enumerate(words)}
+        return MemoryImage(words=mem, entry=entry if entry is not None else base)
+
+    def image_id(self) -> bytes:
+        """Canonical digest binding the program (role of risc0's image ID)."""
+        h = hashlib.sha256()
+        h.update(b"boundless-tpu.image.v1")
+        h.update(self.entry.to_bytes(4, "little"))
+        for addr in sorted(self.words):
+            h.update(addr.to_bytes(4, "little"))
+            h.update(self.words[addr].to_bytes(4, "little"))
+        return h.digest()
+
+
+@dataclasses.dataclass
+class Segment:
+    """One continuation segment: everything needed to prove it in isolation."""
+
+    index: int
+    po2: int
+    pre_pc: int
+    pre_regs: np.ndarray  # (32,) u32
+    pre_mem: dict  # addr -> u32 snapshot at segment start (touched pages only)
+    cycles: int  # actual user cycles executed in this segment
+    # I/O interactions consumed during this segment (for witness re-run):
+    reads: list  # list of bytes chunks returned by READ during the segment
+    is_final: bool
+    image_id: bytes
+
+
+@dataclasses.dataclass
+class SessionResult:
+    segments: list
+    journal: bytes
+    exit_code: int
+    total_cycles: int
+    assumptions: list  # list of 32-byte claim digests from VERIFY ecalls
+    log: bytes
+    image_id: bytes
+
+
+def _signed(v):
+    return v - (1 << 32) if v & 0x80000000 else v
+
+
+class Executor:
+    """Functional rv32im interpreter with continuation segmentation."""
+
+    def __init__(self, image: MemoryImage, input_bytes: bytes = b"",
+                 segment_po2: int = 14, max_cycles: int = 1 << 36):
+        self.image = image
+        self.mem = dict(image.words)
+        self.regs = np.zeros(32, dtype=np.uint64)
+        self.pc = image.entry
+        self.input = input_bytes
+        self.input_pos = 0
+        self.journal = bytearray()
+        self.log = bytearray()
+        self.assumptions = []
+        self.segment_po2 = segment_po2
+        # Reserve a few cycles of every segment for control rows.
+        self.segment_limit = (1 << segment_po2) - 4
+        self.max_cycles = max_cycles
+        self.exit_code = None
+
+    # --- memory helpers (byte-addressed API over word store) ---
+    def _load_word(self, addr):
+        return self.mem.get(addr & ~3, 0)
+
+    def _store_word(self, addr, value):
+        self.mem[addr & ~3] = value & M32
+
+    def load(self, addr, size, signed):
+        w = self._load_word(addr)
+        sh = (addr & 3) * 8
+        if size == 1:
+            v = (w >> sh) & 0xFF
+            return (isa.sign_extend(v, 8) & M32) if signed else v
+        if size == 2:
+            if addr & 1:
+                raise GuestFault(f"misaligned halfword load at {addr:#x}")
+            v = (w >> sh) & 0xFFFF
+            return (isa.sign_extend(v, 16) & M32) if signed else v
+        if addr & 3:
+            raise GuestFault(f"misaligned word load at {addr:#x}")
+        return w
+
+    def store(self, addr, size, value):
+        if size == 4:
+            if addr & 3:
+                raise GuestFault(f"misaligned word store at {addr:#x}")
+            self._store_word(addr, value)
+            return
+        w = self._load_word(addr)
+        sh = (addr & 3) * 8
+        if size == 2 and (addr & 1):
+            raise GuestFault(f"misaligned halfword store at {addr:#x}")
+        mask = ((1 << (8 * size)) - 1) << sh
+        self._store_word(addr, (w & ~mask) | ((value << sh) & mask))
+
+    def read_bytes(self, ptr, length):
+        return bytes(self.load(ptr + i, 1, False) for i in range(length))
+
+    # --- main loop ---
+    def run(self) -> SessionResult:
+        segments = []
+        total = 0
+        while self.exit_code is None:
+            seg = self._run_segment(len(segments))
+            segments.append(seg)
+            total += seg.cycles
+            if total > self.max_cycles:
+                raise GuestFault("session cycle limit exceeded")
+        return SessionResult(
+            segments=segments, journal=bytes(self.journal),
+            exit_code=self.exit_code, total_cycles=total,
+            assumptions=self.assumptions, log=bytes(self.log),
+            image_id=self.image.image_id())
+
+    def _run_segment(self, index) -> Segment:
+        pre_pc = self.pc
+        pre_regs = self.regs.copy().astype(np.uint32)
+        pre_mem = dict(self.mem)
+        reads = []
+        cycles = 0
+        while cycles < self.segment_limit and self.exit_code is None:
+            self.step(reads)
+            cycles += 1
+        return Segment(index=index, po2=self.segment_po2, pre_pc=pre_pc,
+                       pre_regs=pre_regs, pre_mem=pre_mem, cycles=cycles,
+                       reads=reads, is_final=self.exit_code is not None,
+                       image_id=self.image.image_id())
+
+    def step(self, reads_log=None):
+        """Execute one instruction."""
+        word = self._load_word(self.pc)
+        if self.pc & 3:
+            raise GuestFault(f"misaligned pc {self.pc:#x}")
+        d = isa.decode(word)
+        op = d["op"]
+        regs = self.regs
+        rs1 = int(regs[d["rs1"]]) & M32
+        rs2 = int(regs[d["rs2"]]) & M32
+        rd = d["rd"]
+        next_pc = (self.pc + 4) & M32
+        val = None
+
+        if op == isa.OP_LUI:
+            val = d["imm_u"]
+        elif op == isa.OP_AUIPC:
+            val = (self.pc + d["imm_u"]) & M32
+        elif op == isa.OP_JAL:
+            val = next_pc
+            next_pc = (self.pc + d["imm_j"]) & M32
+        elif op == isa.OP_JALR:
+            val = next_pc
+            next_pc = (rs1 + d["imm_i"]) & M32 & ~1
+        elif op == isa.OP_BRANCH:
+            taken = {
+                0b000: rs1 == rs2, 0b001: rs1 != rs2,
+                0b100: _signed(rs1) < _signed(rs2),
+                0b101: _signed(rs1) >= _signed(rs2),
+                0b110: rs1 < rs2, 0b111: rs1 >= rs2,
+            }[d["f3"]]
+            if taken:
+                next_pc = (self.pc + d["imm_b"]) & M32
+        elif op == isa.OP_LOAD:
+            addr = (rs1 + d["imm_i"]) & M32
+            size = {0b000: 1, 0b001: 2, 0b010: 4, 0b100: 1, 0b101: 2}[d["f3"]]
+            signed = d["f3"] in (0b000, 0b001)
+            val = self.load(addr, size, signed)
+        elif op == isa.OP_STORE:
+            addr = (rs1 + d["imm_s"]) & M32
+            size = {0b000: 1, 0b001: 2, 0b010: 4}[d["f3"]]
+            self.store(addr, size, rs2)
+        elif op == isa.OP_IMM:
+            val = self._alu(d["f3"], rs1, d["imm_i"] & M32,
+                            (d["imm_i"] >> 5) & 0x7F if d["f3"] in (1, 5) else 0,
+                            imm_mode=True)
+        elif op == isa.OP_REG:
+            val = self._alu(d["f3"], rs1, rs2, d["f7"], imm_mode=False)
+        elif op == isa.OP_SYSTEM:
+            self._ecall(reads_log)
+        elif op == isa.OP_FENCE:
+            pass
+        else:
+            raise GuestFault(f"illegal instruction {word:#010x} at pc {self.pc:#x}")
+
+        if val is not None and rd != 0:
+            regs[rd] = np.uint64(val & M32)
+        self.pc = next_pc
+
+    def _alu(self, f3, a, b, f7, imm_mode):
+        if f7 == 0b0000001 and not imm_mode:  # M extension
+            sa, sb = _signed(a), _signed(b)
+            if f3 == 0b000:
+                return (a * b) & M32
+            if f3 == 0b001:
+                return ((sa * sb) >> 32) & M32
+            if f3 == 0b010:
+                return ((sa * b) >> 32) & M32
+            if f3 == 0b011:
+                return ((a * b) >> 32) & M32
+            if f3 == 0b100:  # div
+                if b == 0:
+                    return M32
+                if sa == -(1 << 31) and sb == -1:
+                    return a
+                return int(abs(sa) // abs(sb) * (1 if (sa < 0) == (sb < 0) else -1)) & M32
+            if f3 == 0b101:  # divu
+                return M32 if b == 0 else (a // b) & M32
+            if f3 == 0b110:  # rem
+                if b == 0:
+                    return a
+                if sa == -(1 << 31) and sb == -1:
+                    return 0
+                q = abs(sa) // abs(sb) * (1 if (sa < 0) == (sb < 0) else -1)
+                return (sa - q * sb) & M32
+            if f3 == 0b111:  # remu
+                return a if b == 0 else (a % b) & M32
+        sh = b & 0x1F
+        if f3 == 0b000:
+            if not imm_mode and f7 == 0b0100000:
+                return (a - b) & M32
+            return (a + b) & M32
+        if f3 == 0b001:
+            return (a << sh) & M32
+        if f3 == 0b010:
+            return 1 if _signed(a) < _signed(b) else 0
+        if f3 == 0b011:
+            return 1 if a < b else 0
+        if f3 == 0b100:
+            return a ^ b
+        if f3 == 0b101:
+            if f7 & 0b0100000:
+                return (_signed(a) >> sh) & M32
+            return a >> sh
+        if f3 == 0b110:
+            return a | b
+        if f3 == 0b111:
+            return a & b
+        raise GuestFault("bad alu")
+
+    def _ecall(self, reads_log):
+        code = int(self.regs[5]) & M32  # t0
+        a0 = int(self.regs[10]) & M32
+        a1 = int(self.regs[11]) & M32
+        if code == HALT:
+            self.exit_code = a0
+        elif code == COMMIT:
+            self.journal += self.read_bytes(a0, a1)
+        elif code == READ:
+            data = self.input[self.input_pos : self.input_pos + a1]
+            self.input_pos += len(data)
+            for i, byte in enumerate(data):
+                self.store(a0 + i, 1, byte)
+            self.regs[10] = np.uint64(len(data))
+            if reads_log is not None:
+                reads_log.append(data)
+        elif code == LOG:
+            self.log += self.read_bytes(a0, a1)
+        elif code == VERIFY:
+            self.assumptions.append(self.read_bytes(a0, 32))
+        else:
+            raise GuestFault(f"unknown ecall {code}")

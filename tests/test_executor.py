@@ -1,0 +1,126 @@
+"""rv32im executor / assembler / guest ABI tests."""
+
+import numpy as np
+
+from boundless_tpu.zkvm import asm, guests, isa
+from boundless_tpu.zkvm.executor import Executor, GuestFault
+
+
+def run(image, input_bytes=b"", po2=14):
+    return Executor(image, input_bytes, segment_po2=po2).run()
+
+
+def test_echo():
+    res = run(guests.echo(), b"hello boundless tpu")
+    assert res.journal == b"hello boundless tpu"
+    assert res.exit_code == 0
+    assert res.total_cycles > 0
+    assert len(res.segments) == 1
+
+
+def test_loop_and_segmentation():
+    count = 5000
+    res = run(guests.loop_guest(), count.to_bytes(4, "little"), po2=10)
+    assert res.journal == count.to_bytes(4, "little")
+    # 2 cycles per iteration -> multiple segments at po2=10
+    assert len(res.segments) > 1
+    assert sum(s.cycles for s in res.segments) == res.total_cycles
+    assert res.segments[-1].is_final
+    assert not res.segments[0].is_final
+
+
+def test_identity_assumption():
+    digest = bytes(range(32))
+    res = run(guests.identity(), digest)
+    assert res.assumptions == [digest]
+    assert res.journal == digest
+
+
+def test_muldiv():
+    a, b = 0xDEADBEEF, 12345
+    res = run(guests.muldiv(), a.to_bytes(4, "little") + b.to_bytes(4, "little"))
+    lo = int.from_bytes(res.journal[0:4], "little")
+    hi = int.from_bytes(res.journal[4:8], "little")
+    q = int.from_bytes(res.journal[8:12], "little")
+    r = int.from_bytes(res.journal[12:16], "little")
+    assert lo == (a * b) & 0xFFFFFFFF
+    assert hi == (a * b) >> 32
+    assert q == a // b
+    assert r == a % b
+
+
+def test_alu_ops_via_asm():
+    src = """
+    start:
+        li a0, -7
+        li a1, 3
+        add a2, a0, a1      # -4
+        sub a3, a0, a1      # -10
+        slt a4, a0, a1      # 1
+        sltu a5, a0, a1     # 0 (big unsigned)
+        srai a6, a0, 1      # -4 (arith shift)
+        srli a7, a0, 1      # big
+        xor s2, a0, a1
+        and s3, a0, a1
+        or s4, a0, a1
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    img = guests.build(src)
+    ex = Executor(img)
+    ex.run()
+    M = 0xFFFFFFFF
+    regs = [int(x) for x in ex.regs]
+    assert regs[12] == (-4) & M
+    assert regs[13] == (-10) & M
+    assert regs[14] == 1
+    assert regs[15] == 0
+    assert regs[16] == (-4) & M
+    assert regs[17] == ((-7) & M) >> 1
+    assert regs[18] == ((-7) ^ 3) & M
+    assert regs[19] == ((-7) & 3) & M
+    assert regs[20] == ((-7) | 3) & M
+
+
+def test_memory_bytes_halfwords():
+    src = """
+    start:
+        li t1, 0x20000
+        li t2, 0x12345678
+        sw t2, 0(t1)
+        lb a0, 0(t1)       # 0x78
+        lb a1, 3(t1)       # 0x12
+        lhu a2, 2(t1)      # 0x1234
+        sb a1, 4(t1)
+        lw a3, 4(t1)       # 0x12
+        sh a2, 8(t1)
+        lh a4, 8(t1)       # 0x1234
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    ex = Executor(guests.build(src))
+    ex.run()
+    regs = [int(x) for x in ex.regs]
+    assert regs[11] == 0x12
+    assert regs[12] == 0x1234
+    assert regs[13] == 0x12
+    assert regs[14] == 0x1234
+
+
+def test_image_id_stable_and_distinct():
+    a = guests.echo().image_id()
+    b = guests.echo().image_id()
+    c = guests.loop_guest().image_id()
+    assert a == b and a != c
+
+
+def test_illegal_instruction_faults():
+    img = guests.build(".word 0xffffffff")
+    ex = Executor(img)
+    try:
+        ex.run()
+        assert False, "expected fault"
+    except GuestFault:
+        pass

@@ -1,0 +1,138 @@
+"""End-to-end STARK prove/verify round-trips on toy AIRs.
+
+Exercises every committed group: ctrl (selectors), data, accum (ext
+grand-product with a mix challenge), plus the check polynomial and FRI.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boundless_tpu.core import field as F
+from boundless_tpu.air import dsl
+from boundless_tpu.prover import stark
+
+rng = np.random.default_rng(4)
+
+PO2 = 6
+N = 1 << PO2
+PS = stark.ProofSystem(queries=8, fri_min_degree=16)
+
+
+def selectors(n):
+    """ctrl columns: [not_last, is_first] as canonical ints."""
+    not_last = np.ones(n, dtype=np.int64)
+    not_last[n - 1] = 0
+    is_first = np.zeros(n, dtype=np.int64)
+    is_first[0] = 1
+    return not_last, is_first
+
+
+class FibAir(dsl.Air):
+    name = "fib"
+    ctrl_cols = 1  # not_last
+    data_cols = 2  # a, b
+    accum_cols = 0
+    globals_count = 0
+    max_degree = 2
+
+    def ctrl_trace(self, n):
+        not_last, _ = selectors(n)
+        return F.fp(not_last[:, None])
+
+    def constraints(self, alg, now, nxt, globals_):
+        nl = now.ctrl[0]
+        a, b = now.data[0], now.data[1]
+        an, bn = nxt.data[0], nxt.data[1]
+        return [
+            alg.mul(nl, alg.sub(an, b)),
+            alg.mul(nl, alg.sub(bn, alg.add(a, b))),
+        ]
+
+
+def fib_trace(n):
+    a, b = 1, 1
+    rows = []
+    for _ in range(n):
+        rows.append((a, b))
+        a, b = b, (a + b) % F.P
+    return F.fp(np.array(rows, dtype=np.int64))
+
+
+class ProdAir(dsl.Air):
+    """Grand product accum[i] = prod_{j<=i} (data[j] + gamma)."""
+
+    name = "prod"
+    ctrl_cols = 2  # not_last, is_first
+    data_cols = 1
+    accum_cols = 4  # one ext accumulator
+    globals_count = 1
+    max_degree = 3
+
+    def ctrl_trace(self, n):
+        not_last, is_first = selectors(n)
+        return F.fp(np.stack([not_last, is_first], axis=1))
+
+    def accum_trace(self, ctrl, data, globals_):
+        gamma = globals_[0]
+        terms = F.ext_add(F.ext_from_base(data[:, 0]),
+                          jnp.broadcast_to(gamma, (data.shape[0], 4)))
+        acc = jax.lax.associative_scan(F.ext_mul, terms, axis=0)
+        return acc  # (N, 4) -> 4 base columns
+
+    def constraints(self, alg, now, nxt, globals_):
+        gamma = globals_[0]
+        nl, fst = now.ctrl[0], now.ctrl[1]
+        d_now, d_nxt = now.data[0], nxt.data[0]
+        acc_now = alg.read_ext(now.accum, 0)
+        acc_nxt = alg.read_ext(nxt.accum, 0)
+        term_nxt = alg.eadd(alg.lift(d_nxt), gamma)
+        term_now = alg.eadd(alg.lift(d_now), gamma)
+        trans = alg.esub(acc_nxt, alg.emul(acc_now, term_nxt))
+        init = alg.esub(acc_now, term_now)
+        return [
+            stark.ExtVal(alg.escale(trans, nl)),
+            stark.ExtVal(alg.escale(init, fst)),
+        ]
+
+
+def digest_of(x):
+    from boundless_tpu.core import poseidon2 as P2
+
+    return P2.hash_elems(F.fp(np.asarray(x, dtype=np.int64)))
+
+
+def test_fib_roundtrip_and_tamper():
+    air = FibAir()
+    trace = fib_trace(N)
+    pub = digest_of([1, 2, 3])
+    proof = stark.prove(air, trace, pub, PO2, PS)
+    ctrl_root = stark._lde_commit(air.ctrl_trace(N))[2].root
+    ok = stark.verify(air, proof, pub, control_root=ctrl_root, ps=PS)
+    assert bool(ok)
+
+    # Wrong public digest -> fail
+    ok2 = stark.verify(air, proof, digest_of([9]), control_root=ctrl_root, ps=PS)
+    assert not bool(ok2)
+
+    # Invalid trace -> proving it yields a proof that fails ALI
+    bad = np.asarray(F.from_mont(trace), np.int64).copy()
+    bad[5, 0] = (bad[5, 0] + 1) % F.P
+    bad_proof = stark.prove(air, F.fp(bad), pub, PO2, PS)
+    ok3 = stark.verify(air, bad_proof, pub, control_root=ctrl_root, ps=PS)
+    assert not bool(ok3)
+
+
+def test_prod_air_with_accum_and_globals():
+    air = ProdAir()
+    data = F.fp(rng.integers(0, F.P, size=(N, 1), dtype=np.int64))
+    pub = digest_of([7])
+    proof = stark.prove(air, data, pub, PO2, PS)
+    ctrl_root = stark._lde_commit(air.ctrl_trace(N))[2].root
+    ok = stark.verify(air, proof, pub, control_root=ctrl_root, ps=PS)
+    assert bool(ok)
+
+    # Tampered accum root -> fail
+    bad = proof._replace(accum_root=proof.data_root)
+    ok2 = stark.verify(air, bad, pub, control_root=ctrl_root, ps=PS)
+    assert not bool(ok2)
