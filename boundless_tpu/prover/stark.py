@@ -57,7 +57,8 @@ class GroupOpening(NamedTuple):
 
 
 class SegmentProof(NamedTuple):
-    po2: int  # static
+    """All-array pytree (jit-friendly); po2 travels beside it (receipt layer)."""
+
     ctrl_root: Optional[jnp.ndarray]
     data_root: jnp.ndarray
     accum_root: Optional[jnp.ndarray]
@@ -291,7 +292,6 @@ def prove(air: Air, data_trace, pub_digest, po2: int,
         return GroupOpening(rows, paths)
 
     return SegmentProof(
-        po2=po2,
         ctrl_root=ctrl_tree.root if has_ctrl else None,
         data_root=data_tree.root,
         accum_root=accum_tree.root if has_accum else None,
@@ -362,14 +362,14 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
 # ---------------------------------------------------------------------------
 
 
-def verify(air: Air, proof: SegmentProof, pub_digest, control_root=None,
-           ps: ProofSystem = ProofSystem()):
+def verify(air: Air, proof: SegmentProof, pub_digest, po2: int,
+           control_root=None, ps: ProofSystem = ProofSystem()):
     """Verify a SegmentProof. Returns a scalar bool array.
 
     `control_root`: the circuit's known ctrl-group Merkle root ("control
     ID"); required iff the AIR has ctrl columns.
     """
-    n = 1 << proof.po2
+    n = 1 << po2
     big = INV_RATE * n
     has_ctrl = air.ctrl_cols > 0
     has_accum = air.accum_cols > 0
@@ -461,3 +461,49 @@ def verify(air: Air, proof: SegmentProof, pub_digest, control_root=None,
         expected = F.ext_add(expected, F.ext_mul(num, F.ext_inv(den)))
     ok = ok & jnp.all(F.sub(expected, round0) == 0)
     return ok
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+# On this stack each *distinct eager op* costs ~0.5 s of XLA compile, so the
+# only viable execution mode is whole-proof jit: one XLA program per
+# (air, po2) pair, persistently cached on disk across processes.
+
+
+def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
+    """Returns jitted fn(data_trace, pub_digest) -> SegmentProof."""
+
+    @jax.jit
+    def _prove(data_trace, pub_digest):
+        return prove(air, data_trace, pub_digest, po2, ps)
+
+    return _prove
+
+
+def make_verifier(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
+    """Returns jitted fn(proof, pub_digest[, control_root]) -> bool."""
+    if air.ctrl_cols > 0:
+
+        @jax.jit
+        def _verify(proof, pub_digest, control_root):
+            return verify(air, proof, pub_digest, po2, control_root, ps)
+
+        return _verify
+
+    @jax.jit
+    def _verify_nc(proof, pub_digest):
+        return verify(air, proof, pub_digest, po2, None, ps)
+
+    return _verify_nc
+
+
+def control_root_of(air: Air, po2: int):
+    """The circuit's control ID: Merkle root of the ctrl group LDE."""
+    n = 1 << po2
+
+    @jax.jit
+    def _root():
+        return _lde_commit(air.ctrl_trace(n))[2].root
+
+    return _root()

@@ -106,20 +106,22 @@ def test_fib_roundtrip_and_tamper():
     air = FibAir()
     trace = fib_trace(N)
     pub = digest_of([1, 2, 3])
-    proof = stark.prove(air, trace, pub, PO2, PS)
-    ctrl_root = stark._lde_commit(air.ctrl_trace(N))[2].root
-    ok = stark.verify(air, proof, pub, control_root=ctrl_root, ps=PS)
+    prover = stark.make_prover(air, PO2, PS)
+    verifier = stark.make_verifier(air, PO2, PS)
+    ctrl_root = stark.control_root_of(air, PO2)
+    proof = prover(trace, pub)
+    ok = verifier(proof, pub, ctrl_root)
     assert bool(ok)
 
     # Wrong public digest -> fail
-    ok2 = stark.verify(air, proof, digest_of([9]), control_root=ctrl_root, ps=PS)
+    ok2 = verifier(proof, digest_of([9]), ctrl_root)
     assert not bool(ok2)
 
     # Invalid trace -> proving it yields a proof that fails ALI
     bad = np.asarray(F.from_mont(trace), np.int64).copy()
     bad[5, 0] = (bad[5, 0] + 1) % F.P
-    bad_proof = stark.prove(air, F.fp(bad), pub, PO2, PS)
-    ok3 = stark.verify(air, bad_proof, pub, control_root=ctrl_root, ps=PS)
+    bad_proof = prover(F.fp(bad), pub)
+    ok3 = verifier(bad_proof, pub, ctrl_root)
     assert not bool(ok3)
 
 
@@ -127,12 +129,14 @@ def test_prod_air_with_accum_and_globals():
     air = ProdAir()
     data = F.fp(rng.integers(0, F.P, size=(N, 1), dtype=np.int64))
     pub = digest_of([7])
-    proof = stark.prove(air, data, pub, PO2, PS)
-    ctrl_root = stark._lde_commit(air.ctrl_trace(N))[2].root
-    ok = stark.verify(air, proof, pub, control_root=ctrl_root, ps=PS)
+    prover = stark.make_prover(air, PO2, PS)
+    verifier = stark.make_verifier(air, PO2, PS)
+    ctrl_root = stark.control_root_of(air, PO2)
+    proof = prover(data, pub)
+    ok = verifier(proof, pub, ctrl_root)
     assert bool(ok)
 
     # Tampered accum root -> fail
     bad = proof._replace(accum_root=proof.data_root)
-    ok2 = stark.verify(air, bad, pub, control_root=ctrl_root, ps=PS)
+    ok2 = verifier(bad, pub, ctrl_root)
     assert not bool(ok2)
