@@ -1,0 +1,57 @@
+"""Debug utilities: check a witness satisfies an AIR on the trace domain.
+
+Evaluating constraints directly on H_N (rows with cyclic next-row) is
+orders of magnitude cheaper than a full prove — the e2e development loop
+for new AIR features, and the first thing to run when a proof fails ALI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import field as F
+from ..prover.stark import ExtVal, VecVal
+from . import dsl
+
+
+def check_constraints(air, ctrl, data, pub, globals_seed: int = 7):
+    """Returns (ok, failures): failures = list of (constraint_index, count).
+
+    ctrl/data: Montgomery (N, C) arrays. Globals are pseudorandomly drawn
+    (any values must satisfy a correct witness identically).
+    """
+    rng = np.random.default_rng(globals_seed)
+    globals_ = F.ext(rng.integers(1, F.P, size=(max(air.globals_count, 1), 4),
+                                  dtype=np.int64))[: air.globals_count]
+
+    @jax.jit
+    def _eval(ctrl, data, globals_, pub):
+        accum = air.accum_trace(ctrl, data, globals_) \
+            if air.accum_cols else jnp.zeros((data.shape[0], 0), jnp.uint32)
+
+        def acc_of(mat):
+            class _A:
+                def __init__(self, m):
+                    self._m = m
+
+                def __getitem__(self, i):
+                    return self._m[:, i]
+            return _A(mat)
+
+        now = dsl.Columns(acc_of(ctrl), acc_of(data), acc_of(accum))
+        nxt = dsl.Columns(acc_of(jnp.roll(ctrl, -1, axis=0)),
+                          acc_of(jnp.roll(data, -1, axis=0)),
+                          acc_of(jnp.roll(accum, -1, axis=0)))
+        cons = air.constraints(dsl.BaseAlg(), now, nxt, globals_, pub)
+        out = []
+        for c in cons:
+            if isinstance(c, (ExtVal, VecVal)):
+                c = c.v
+            out.append(jnp.count_nonzero(F.from_mont(c)))
+        return out
+
+    counts = [int(x) for x in _eval(ctrl, data, globals_, pub)]
+    failures = [(i, n) for i, n in enumerate(counts) if n]
+    return (not failures), failures

@@ -63,6 +63,17 @@ class BaseAlg:
         """Read 4 consecutive base columns as one ext value."""
         return jnp.stack([accessor[base_idx + c] for c in range(4)], axis=-1)
 
+    def stack(self, items):
+        """Stack base constraint values for a VecVal group: (M,)xG -> (M,G)."""
+        return jnp.stack([jnp.broadcast_to(x, _common_shape(items))
+                          for x in items], axis=-1)
+
+    eneg = staticmethod(F.ext_neg)
+
+    def pubval(self, x):
+        """Lift a public scalar (base u32) into this algebra's value type."""
+        return x
+
 
 class ExtAlg:
     """Algebra at the DEEP point: every value is an ext (4,) array."""
@@ -105,6 +116,25 @@ class ExtAlg:
             acc = term if acc is None else F.ext_add(acc, term)
         return acc
 
+    def stack(self, items):
+        """Stack constraint values for a VecVal group: (4,)xG -> (G, 4)."""
+        return jnp.stack([jnp.broadcast_to(x, (4,)) for x in items], axis=0)
+
+    eneg = staticmethod(F.ext_neg)
+
+    def pubval(self, x):
+        """Public scalars become ext constants at the DEEP point."""
+        return F.ext_from_base(x)
+
+
+def _common_shape(items):
+    shape = ()
+    for x in items:
+        s = jnp.shape(x)
+        if len(s) > len(shape):
+            shape = s
+    return shape
+
 
 class Columns:
     """Row accessor handed to `Air.constraints`: cols[i] -> algebra value."""
@@ -144,6 +174,12 @@ class Air:
         assert self.accum_cols == 0
         return jnp.zeros((n, 0), dtype=jnp.uint32)
 
-    def constraints(self, alg, now: Columns, nxt: Columns, globals_):
-        """Return a list of algebra values that must vanish on every row."""
+    def constraints(self, alg, now: Columns, nxt: Columns, globals_, pub):
+        """Return a list of algebra values that must vanish on every row.
+
+        `pub` is the circuit's public-values pytree (Montgomery uint32
+        arrays): journal/input words, pre/post state, etc. The protocol
+        binds it by mixing its Poseidon2 hash into the transcript before
+        any commitment (prover/stark.py).
+        """
         raise NotImplementedError

@@ -1,0 +1,698 @@
+"""rv32im segment AIR — the TPU-native constraint system for the zkVM.
+
+Replaces the reference's generated rv32im circuit + CUDA witness/constraint
+kernels (`risc0-circuit-rv32im-sys`, SURVEY.md §2.4; call-site
+`prover/crates/workflow/src/tasks/prove.rs:43-49`). The design is
+TPU-first: wide, uniform, low-degree — columns are cheap (VPU lanes),
+permutation machinery is minimized:
+
+  * **Registers live in-trace** (32 regs x 2 sixteen-bit limbs = 64 cols)
+    with purely local read/write constraints — no register-file
+    permutation argument at all.
+  * **Bit-decomposed operands** (a/b/r each 32 bool cols): range checks
+    become bool constraints; logic ops are degree-2; shifts are a one-hot
+    barrel (sh_oh[32]).
+  * **The decoded program table lives in the ctrl group**, so the STARK's
+    control root IS the image id: instruction fetch is a LogUp lookup of
+    (pc, decoded fields) into that table; the verifier binds the program
+    simply by knowing image_id.
+  * **RAM** uses one address-sorted log (same row space) with a LogUp
+    permutation + local ordering/read-consistency constraints; init reads
+    look up the image table. Addresses < 2^26 bytes, word-granular.
+  * **I/O ecalls are word-based** and bound to *public* journal / input /
+    assumption word lists through the same LogUp running sum — the
+    verifier evaluates the public side of the sum itself, so journals need
+    no in-circuit hashing.
+
+One extension-field running column R accumulates every LogUp port; a
+boundary constraint pins R's final value to the verifier-computed public
+sum S_pub.
+
+v1 ISA coverage (sound): LUI, JAL, JALR, all branches, LW, SW, all ALU
+reg/imm ops incl. shifts. Not yet in-circuit (executor still runs them;
+staged for later rounds): AUIPC, sub-word loads/stores, the M extension,
+cross-segment RAM continuity (post-memory commitment). First access to a
+non-image address must be a write (uninitialized reads are unprovable by
+construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import field as F
+from ..core import ntt as NTT
+from . import dsl
+from ..prover.stark import ExtVal, VecVal
+
+# ---------------------------------------------------------------------------
+# Column layout
+# ---------------------------------------------------------------------------
+
+
+class _Alloc:
+    def __init__(self):
+        self.n = 0
+
+    def get(self, count=1):
+        start = self.n
+        self.n += count
+        return start if count == 1 else slice(start, start + count)
+
+
+class DataCols:
+    def __init__(self):
+        a = _Alloc()
+        self.regs = a.get(64)  # reg k limb l at regs.start + 2k + l
+        self.pc = a.get()
+        self.sel = a.get(10)  # LUI AUIPC JAL JALR BR LOAD STORE ALUI ALUR ECALL
+        self.f3 = a.get(8)
+        self.alt = a.get()
+        self.imm_lo = a.get()
+        self.imm_hi = a.get()
+        self.imm_field = a.get()
+        self.rd_oh = a.get(32)
+        self.rs1_oh = a.get(32)
+        self.rs2_oh = a.get(32)
+        self.rs1v = a.get(2)
+        self.rs2v = a.get(2)
+        self.op2 = a.get(2)
+        self.rdv = a.get(2)
+        self.a_bits = a.get(32)
+        self.b_bits = a.get(32)
+        self.r_bits = a.get(32)
+        self.sh_oh = a.get(32)
+        self.c0 = a.get()
+        self.c1 = a.get()
+        self.eq = a.get()
+        self.z_inv = a.get()
+        self.taken = a.get()
+        self.k = a.get(5)  # ecall kind one-hot: halt commit read log verify
+        self.commit_seq = a.get()
+        self.read_seq = a.get()
+        self.verify_seq = a.get()
+        self.active = a.get()
+        self.halted = a.get()
+        self.s_active = a.get()
+        self.s_is_write = a.get()
+        self.s_new = a.get()
+        self.s_addr = a.get()  # word address
+        self.s_clk = a.get()
+        self.s_val = a.get(2)
+        self.s_dbits = a.get(26)
+        self.mult_fetch = a.get()
+        self.mult_init = a.get()
+        self.total = a.n
+
+
+class CtrlCols:
+    def __init__(self):
+        a = _Alloc()
+        self.is_first = a.get()
+        self.not_last = a.get()
+        self.clk = a.get()
+        # decoded image table (static per program; ctrl root == image_id)
+        self.t_active = a.get()
+        self.t_pc = a.get()  # byte address of this word
+        self.t_word = a.get(2)  # raw word limbs (for init reads)
+        self.t_sel = a.get(10)
+        self.t_f3 = a.get(8)
+        self.t_alt = a.get()
+        self.t_imm_lo = a.get()
+        self.t_imm_hi = a.get()
+        self.t_imm_field = a.get()
+        self.t_rd = a.get()
+        self.t_rs1 = a.get()
+        self.t_rs2 = a.get()
+        self.total = a.n
+
+
+class AccumCols:
+    PORTS = ("fetch", "fetch_tbl", "mem", "mem_sorted", "init", "init_tbl",
+             "commit", "read", "verify")
+    SIGNS = {"fetch": +1, "fetch_tbl": -1, "mem": +1, "mem_sorted": -1,
+             "init": +1, "init_tbl": -1, "commit": +1, "read": +1,
+             "verify": +1}
+
+    def __init__(self):
+        self.inv = {p: 4 * i for i, p in enumerate(self.PORTS)}
+        self.running = 4 * len(self.PORTS)
+        self.total = 4 * len(self.PORTS) + 4
+
+
+DC = DataCols()
+CC = CtrlCols()
+AC = AccumCols()
+
+TAG = {"fetch": 1, "mem": 2, "init": 3, "commit": 4, "read": 5, "verify": 6}
+
+IO_MAX = 64  # public io rows (journal + input + assumption words) per segment
+NUM_DPOWS = 28
+
+
+@dataclasses.dataclass
+class PublicValues:
+    """Public claim values (Montgomery uint32 jnp arrays).
+
+    io rows: (tag, seq, lo, hi, mask) — tag is TAG['commit'|'read'|'verify'].
+    """
+
+    pre_pc: jnp.ndarray
+    post_pc: jnp.ndarray
+    pre_regs: jnp.ndarray  # (64,)
+    post_regs: jnp.ndarray  # (64,)
+    halted: jnp.ndarray
+    pre_seqs: jnp.ndarray  # (3,)
+    post_seqs: jnp.ndarray  # (3,)
+    io: jnp.ndarray  # (IO_MAX, 5)
+
+
+jax.tree_util.register_dataclass(
+    PublicValues,
+    data_fields=["pre_pc", "post_pc", "pre_regs", "post_regs", "halted",
+                 "pre_seqs", "post_seqs", "io"],
+    meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# Shared LogUp port computation
+# ---------------------------------------------------------------------------
+
+
+def _pack(gamma, dpows, tag: int, components, alg):
+    """gamma - (tag + sum_j delta^{j+1} * x_j), ext-valued."""
+    base = F.ext_sub(gamma, F.ext(np.array([tag, 0, 0, 0], dtype=np.int64)))
+    acc = None
+    for j, x in enumerate(components):
+        term = alg.escale(dpows[j + 1], x)
+        acc = term if acc is None else alg.eadd(acc, term)
+    if acc is None:
+        return base
+    return F.ext_sub(jnp.broadcast_to(base, jnp.shape(acc)), acc)
+
+
+def _ports(alg, row, gamma, dpows):
+    """(packs, sels) for every LogUp port, from a row accessor.
+
+    `row` provides .data(i)/.ctrl(i) returning algebra values. Works both
+    pointwise over the LDE domain (BaseAlg), on the raw trace
+    (accum_trace), and at the DEEP point (ExtAlg).
+    """
+    m, add, sub = alg.mul, alg.add, alg.sub
+    one = alg.one()
+    d = row
+
+    def dsum(vals):
+        acc = None
+        for v in vals:
+            acc = v if acc is None else add(acc, v)
+        return acc if acc is not None else alg.zero()
+
+    sel = [d.data(DC.sel.start + i) for i in range(10)]
+    (is_lui, is_auipc, is_jal, is_jalr, is_br, is_load, is_store,
+     is_alui, is_alur, is_ecall) = sel
+    f3 = [d.data(DC.f3.start + i) for i in range(8)]
+    k = [d.data(DC.k.start + i) for i in range(5)]
+    active = d.data(DC.active)
+    pc = d.data(DC.pc)
+    clk = d.ctrl(CC.clk)
+    rdv = [d.data(DC.rdv.start + i) for i in range(2)]
+    rs2v = [d.data(DC.rs2v.start + i) for i in range(2)]
+    r_bits = [d.data(DC.r_bits.start + i) for i in range(32)]
+
+    def reg(kk, limb):
+        return d.data(DC.regs.start + 2 * kk + limb)
+
+    def idx_of(oh_slice):
+        return dsum([m(d.data(oh_slice.start + kk), alg.const(kk))
+                     for kk in range(1, 32)])
+
+    addr_word = dsum([m(r_bits[i], alg.const(1 << (i - 2)))
+                      for i in range(2, 26)])
+
+    # exec fetch pack: [pc, sel10, f3sel8, alt, imm_lo, imm_hi, imm_field,
+    #                   rd, rs1, rs2]
+    fetch_comps = ([pc] + sel + f3
+                   + [d.data(DC.alt), d.data(DC.imm_lo), d.data(DC.imm_hi),
+                      d.data(DC.imm_field), idx_of(DC.rd_oh),
+                      idx_of(DC.rs1_oh), idx_of(DC.rs2_oh)])
+    tbl_comps = ([d.ctrl(CC.t_pc)]
+                 + [d.ctrl(CC.t_sel.start + i) for i in range(10)]
+                 + [d.ctrl(CC.t_f3.start + i) for i in range(8)]
+                 + [d.ctrl(CC.t_alt), d.ctrl(CC.t_imm_lo),
+                    d.ctrl(CC.t_imm_hi), d.ctrl(CC.t_imm_field),
+                    d.ctrl(CC.t_rd), d.ctrl(CC.t_rs1), d.ctrl(CC.t_rs2)])
+
+    mval = [add(m(is_load, rdv[i]), m(is_store, rs2v[i])) for i in range(2)]
+    mem_comps = [addr_word, clk, mval[0], mval[1], is_store]
+    srt_comps = [d.data(DC.s_addr), d.data(DC.s_clk),
+                 d.data(DC.s_val.start), d.data(DC.s_val.start + 1),
+                 d.data(DC.s_is_write)]
+
+    init_comps = [d.data(DC.s_addr), d.data(DC.s_val.start),
+                  d.data(DC.s_val.start + 1)]
+    inv4 = pow(4, F.P - 2, F.P)
+    tbl_word_addr = m(d.ctrl(CC.t_pc), alg.const(inv4))
+    init_tbl_comps = [tbl_word_addr, d.ctrl(CC.t_word.start),
+                      d.ctrl(CC.t_word.start + 1)]
+
+    commit_comps = [d.data(DC.commit_seq), reg(10, 0), reg(10, 1)]
+    read_comps = [d.data(DC.read_seq), rdv[0], rdv[1]]
+    verify_comps = [d.data(DC.verify_seq), reg(10, 0), reg(10, 1)]
+
+    packs = {
+        "fetch": _pack(gamma, dpows, TAG["fetch"], fetch_comps, alg),
+        "fetch_tbl": _pack(gamma, dpows, TAG["fetch"], tbl_comps, alg),
+        "mem": _pack(gamma, dpows, TAG["mem"], mem_comps, alg),
+        "mem_sorted": _pack(gamma, dpows, TAG["mem"], srt_comps, alg),
+        "init": _pack(gamma, dpows, TAG["init"], init_comps, alg),
+        "init_tbl": _pack(gamma, dpows, TAG["init"], init_tbl_comps, alg),
+        "commit": _pack(gamma, dpows, TAG["commit"], commit_comps, alg),
+        "read": _pack(gamma, dpows, TAG["read"], read_comps, alg),
+        "verify": _pack(gamma, dpows, TAG["verify"], verify_comps, alg),
+    }
+    sels = {
+        "fetch": active,
+        "fetch_tbl": d.data(DC.mult_fetch),
+        "mem": add(is_load, is_store),
+        "mem_sorted": d.data(DC.s_active),
+        "init": m(d.data(DC.s_active),
+                  m(d.data(DC.s_new), sub(one, d.data(DC.s_is_write)))),
+        "init_tbl": d.data(DC.mult_init),
+        "commit": k[1],
+        "read": k[2],
+        "verify": k[4],
+    }
+    return packs, sels
+
+
+def public_logup_sum(pub: PublicValues, gamma, delta):
+    """S_pub = sum over public io rows of mask / (gamma - pack)."""
+    dpows = NTT.ext_powers(delta, 4)
+    tag, seq, lo, hi, mask = (pub.io[:, i] for i in range(5))
+    acc = F.ext_from_base(tag)
+    for j, x in enumerate((seq, lo, hi)):
+        acc = F.ext_add(acc, F.ext_scale(
+            jnp.broadcast_to(dpows[j + 1], acc.shape), x))
+    den = F.ext_sub(jnp.broadcast_to(gamma, acc.shape), acc)
+    terms = F.ext_scale(F.ext_inv(den), mask)
+    return F.sum_mod(terms, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Row accessors
+# ---------------------------------------------------------------------------
+
+
+class _Rows:
+    """Adapter over dsl.Columns for constraints()."""
+
+    def __init__(self, cols: dsl.Columns):
+        self._cols = cols
+
+    def data(self, i):
+        return self._cols.data[i]
+
+    def ctrl(self, i):
+        return self._cols.ctrl[i]
+
+    def accum(self, i):
+        return self._cols.accum[i]
+
+
+class _TraceRows:
+    """Adapter over raw (N, C) trace arrays for accum_trace()."""
+
+    def __init__(self, ctrl, data):
+        self._ctrl = ctrl
+        self._data = data
+
+    def data(self, i):
+        return self._data[:, i]
+
+    def ctrl(self, i):
+        return self._ctrl[:, i]
+
+
+# ---------------------------------------------------------------------------
+# The AIR
+# ---------------------------------------------------------------------------
+
+
+class Rv32imAir(dsl.Air):
+    name = "rv32im"
+    ctrl_cols = CC.total
+    data_cols = DC.total
+    accum_cols = AC.total
+    globals_count = 2  # gamma, delta
+    max_degree = 5
+    ctrl_dynamic = True  # ctrl trace (image table) is a prover input
+
+    def accum_trace(self, ctrl, data, globals_):
+        gamma, delta = globals_[0], globals_[1]
+        dpows = NTT.ext_powers(delta, NUM_DPOWS)
+        n = data.shape[0]
+        alg = dsl.BaseAlg()
+        packs, sels = _ports(alg, _TraceRows(ctrl, data), gamma, dpows)
+        out = jnp.zeros((n, AC.total), dtype=jnp.uint32)
+        total = jnp.zeros((n, 4), dtype=jnp.uint32)
+        for port in AC.PORTS:
+            pk = jnp.broadcast_to(packs[port], (n, 4))
+            inv = F.ext_scale(F.ext_inv(pk), sels[port])
+            out = out.at[:, AC.inv[port] : AC.inv[port] + 4].set(inv)
+            total = F.ext_add(total,
+                              inv if AC.SIGNS[port] > 0 else F.ext_neg(inv))
+        running = jax.lax.associative_scan(F.ext_add, total, axis=0)
+        out = out.at[:, AC.running : AC.running + 4].set(running)
+        return out
+
+    def constraints(self, alg, now, nxt, globals_, pub: PublicValues):
+        gamma, delta = globals_[0], globals_[1]
+        dpows = NTT.ext_powers(delta, NUM_DPOWS)
+        d = _Rows(now)
+        nx = _Rows(nxt)
+        c = []
+        m, add, sub = alg.mul, alg.add, alg.sub
+        one = alg.one()
+
+        def dsum(vals):
+            acc = None
+            for v in vals:
+                acc = v if acc is None else add(acc, v)
+            return acc if acc is not None else alg.zero()
+
+        sel = [d.data(DC.sel.start + i) for i in range(10)]
+        (is_lui, is_auipc, is_jal, is_jalr, is_br, is_load, is_store,
+         is_alui, is_alur, is_ecall) = sel
+        f3 = [d.data(DC.f3.start + i) for i in range(8)]
+        alt = d.data(DC.alt)
+        k = [d.data(DC.k.start + i) for i in range(5)]
+        k_halt, k_commit, k_read, k_log, k_verify = k
+        active = d.data(DC.active)
+        halted = d.data(DC.halted)
+        pc = d.data(DC.pc)
+        is_first = d.ctrl(CC.is_first)
+        not_last = d.ctrl(CC.not_last)
+        is_last = sub(one, not_last)
+
+        # ---- boolean constraints ----
+        bool_cols = (list(range(DC.sel.start, DC.sel.stop))
+                     + list(range(DC.f3.start, DC.f3.stop))
+                     + [DC.alt]
+                     + list(range(DC.rd_oh.start, DC.rd_oh.stop))
+                     + list(range(DC.rs1_oh.start, DC.rs1_oh.stop))
+                     + list(range(DC.rs2_oh.start, DC.rs2_oh.stop))
+                     + list(range(DC.a_bits.start, DC.a_bits.stop))
+                     + list(range(DC.b_bits.start, DC.b_bits.stop))
+                     + list(range(DC.r_bits.start, DC.r_bits.stop))
+                     + list(range(DC.sh_oh.start, DC.sh_oh.stop))
+                     + [DC.c0, DC.c1, DC.eq, DC.taken]
+                     + list(range(DC.k.start, DC.k.stop))
+                     + [DC.active, DC.halted, DC.s_active, DC.s_is_write,
+                        DC.s_new]
+                     + list(range(DC.s_dbits.start, DC.s_dbits.stop)))
+        c.append(VecVal(alg.stack(
+            [m(d.data(i), sub(d.data(i), one)) for i in bool_cols])))
+
+        # ---- one-hot sums / class structure ----
+        rd_oh = [d.data(DC.rd_oh.start + i) for i in range(32)]
+        rs1_oh = [d.data(DC.rs1_oh.start + i) for i in range(32)]
+        rs2_oh = [d.data(DC.rs2_oh.start + i) for i in range(32)]
+        sh_oh = [d.data(DC.sh_oh.start + i) for i in range(32)]
+        c.append(sub(dsum(rd_oh), one))
+        c.append(sub(dsum(rs1_oh), one))
+        c.append(sub(dsum(rs2_oh), one))
+        c.append(sub(dsum(sh_oh), one))
+        c.append(sub(dsum(sel), active))
+        c.append(sub(dsum(k), is_ecall))
+        c.append(is_auipc)  # v1: not in-circuit
+
+        # ---- register reads; reg0 pinned ----
+        def reg(kk, limb, rows=d):
+            return rows.data(DC.regs.start + 2 * kk + limb)
+
+        rs1v = [d.data(DC.rs1v.start + i) for i in range(2)]
+        rs2v = [d.data(DC.rs2v.start + i) for i in range(2)]
+        op2 = [d.data(DC.op2.start + i) for i in range(2)]
+        rdv = [d.data(DC.rdv.start + i) for i in range(2)]
+        for limb in range(2):
+            c.append(sub(rs1v[limb],
+                         dsum([m(rs1_oh[kk], reg(kk, limb))
+                               for kk in range(32)])))
+            c.append(sub(rs2v[limb],
+                         dsum([m(rs2_oh[kk], reg(kk, limb))
+                               for kk in range(32)])))
+        c.append(reg(0, 0))
+        c.append(reg(0, 1))
+
+        # ---- op2 select ----
+        imm_lo, imm_hi = d.data(DC.imm_lo), d.data(DC.imm_hi)
+        imm_field = d.data(DC.imm_field)
+        use_imm = dsum([is_alui, is_load, is_store, is_jalr])
+        for limb, imm in ((0, imm_lo), (1, imm_hi)):
+            c.append(sub(op2[limb], add(m(use_imm, imm),
+                                        m(sub(one, use_imm), rs2v[limb]))))
+
+        # ---- bit bindings ----
+        a_bits = [d.data(DC.a_bits.start + i) for i in range(32)]
+        b_bits = [d.data(DC.b_bits.start + i) for i in range(32)]
+        r_bits = [d.data(DC.r_bits.start + i) for i in range(32)]
+
+        def limbsum(bits, lohalf):
+            rng = range(0, 16) if lohalf else range(16, 32)
+            return dsum([m(bits[i], alg.const(1 << (i % 16))) for i in rng])
+
+        bind_ab = dsum([is_alui, is_alur, is_br])
+        c.append(m(bind_ab, sub(rs1v[0], limbsum(a_bits, True))))
+        c.append(m(bind_ab, sub(rs1v[1], limbsum(a_bits, False))))
+        c.append(m(bind_ab, sub(op2[0], limbsum(b_bits, True))))
+        c.append(m(bind_ab, sub(op2[1], limbsum(b_bits, False))))
+        RL = limbsum(r_bits, True)
+        RH = limbsum(r_bits, False)
+
+        # ---- shared adder ----
+        c0b, c1b = d.data(DC.c0), d.data(DC.c1)
+        is_alu = add(is_alui, is_alur)
+        is_addm = add(m(is_alu, m(f3[0], sub(one, alt))),
+                      dsum([is_load, is_store, is_jalr]))
+        is_subm = add(m(is_alu, add(m(f3[0], alt), add(f3[2], f3[3]))), is_br)
+        c16 = alg.const(1 << 16)
+        c.append(m(is_addm, sub(add(rs1v[0], op2[0]), add(RL, m(c0b, c16)))))
+        c.append(m(is_addm, sub(add(add(rs1v[1], op2[1]), c0b),
+                                add(RH, m(c1b, c16)))))
+        c.append(m(is_subm, sub(add(op2[0], RL), add(rs1v[0], m(c0b, c16)))))
+        c.append(m(is_subm, sub(add(add(op2[1], RH), c0b),
+                                add(rs1v[1], m(c1b, c16)))))
+
+        # ---- logic ops ----
+        is_logic = m(is_alu, dsum([f3[4], f3[6], f3[7]]))
+        logic_terms = []
+        for j in range(32):
+            a, b = a_bits[j], b_bits[j]
+            ab = m(a, b)
+            x_xor = sub(add(a, b), add(ab, ab))
+            x_or = sub(add(a, b), ab)
+            expect = dsum([m(f3[4], x_xor), m(f3[6], x_or), m(f3[7], ab)])
+            logic_terms.append(m(is_logic, sub(r_bits[j], expect)))
+        c.append(VecVal(alg.stack(logic_terms)))
+
+        # ---- shifts (barrel via sh_oh) ----
+        is_sll = m(is_alu, f3[1])
+        is_srx = m(is_alu, f3[5])
+        shamt = dsum([m(b_bits[i], alg.const(1 << i)) for i in range(5)])
+        sh_idx = dsum([m(sh_oh[s], alg.const(s)) for s in range(1, 32)])
+        c.append(m(add(is_sll, is_srx), sub(sh_idx, shamt)))
+        shift_terms = []
+        for j in range(32):
+            e_sll = dsum([m(sh_oh[s], a_bits[j - s]) for s in range(j + 1)])
+            e_srl = dsum([m(sh_oh[s], a_bits[j + s]) for s in range(32 - j)])
+            e_sra = dsum([m(sh_oh[s], a_bits[min(j + s, 31)])
+                          for s in range(32)])
+            expect = add(m(is_sll, e_sll),
+                         add(m(m(is_srx, sub(one, alt)), e_srl),
+                             m(m(is_srx, alt), e_sra)))
+            shift_terms.append(sub(m(add(is_sll, is_srx), r_bits[j]), expect))
+        c.append(VecVal(alg.stack(shift_terms)))
+
+        # ---- comparisons / branches ----
+        lt_u = c1b
+        a31, b31 = a_bits[31], b_bits[31]
+        two = alg.const(2)
+        sx = sub(add(a31, b31), m(two, m(a31, b31)))
+        lt_s = sub(add(lt_u, sx), m(two, m(lt_u, sx)))
+        eq = d.data(DC.eq)
+        z_inv = d.data(DC.z_inv)
+        z = add(RL, RH)
+        c.append(m(is_br, m(eq, z)))
+        c.append(m(is_br, sub(add(eq, m(z, z_inv)), one)))
+        taken = d.data(DC.taken)
+        c.append(m(is_br, sub(taken, dsum([
+            m(f3[0], eq), m(f3[1], sub(one, eq)),
+            m(f3[4], lt_s), m(f3[5], sub(one, lt_s)),
+            m(f3[6], lt_u), m(f3[7], sub(one, lt_u))]))))
+
+        # ---- rdv definitions ----
+        alu_arith = m(is_alu, dsum([f3[0], f3[1], f3[4], f3[5], f3[6], f3[7]]))
+        slt_sel = m(is_alu, add(f3[2], f3[3]))
+        c.append(m(alu_arith, sub(rdv[0], RL)))
+        c.append(m(alu_arith, sub(rdv[1], RH)))
+        slt_val = add(m(m(is_alu, f3[2]), lt_s), m(m(is_alu, f3[3]), lt_u))
+        c.append(m(slt_sel, sub(rdv[0], slt_val)))
+        c.append(m(slt_sel, rdv[1]))
+        c.append(m(is_lui, sub(rdv[0], imm_lo)))
+        c.append(m(is_lui, sub(rdv[1], imm_hi)))
+        RH26 = dsum([m(r_bits[i], alg.const(1 << (i - 16)))
+                     for i in range(16, 26)])
+        c.append(m(is_jal, sub(rdv[0], RL)))
+        c.append(m(is_jal, sub(rdv[1], RH)))
+        c.append(m(is_jal, sub(add(pc, alg.const(4)),
+                               add(RL, m(c16, RH26)))))
+        # jalr: rdv = pc + 4, range-bound through b_bits (free on jalr rows:
+        # bind_ab excludes jalr, and the adder consumes op2 limbs, not bits).
+        BL = limbsum(b_bits, True)
+        BH26 = dsum([m(b_bits[i], alg.const(1 << (i - 16)))
+                     for i in range(16, 26)])
+        c.append(m(is_jalr, sub(rdv[0], BL)))
+        c.append(m(is_jalr, sub(rdv[1], BH26)))
+        c.append(m(is_jalr, sub(add(pc, alg.const(4)), add(BL, m(c16, BH26)))))
+        c.append(VecVal(alg.stack([m(is_jalr, b_bits[i])
+                                   for i in range(26, 32)])))
+
+        # ---- address structure ----
+        addr_users = dsum([is_jalr, is_load, is_store])
+        c.append(VecVal(alg.stack([m(add(addr_users, is_jal), r_bits[i])
+                                   for i in range(26, 32)])))
+        c.append(m(addr_users, r_bits[0]))
+        c.append(m(addr_users, r_bits[1]))
+        ADDR_BYTES = add(RL, m(c16, RH26))
+
+        # ---- pc transition ----
+        pc4 = add(pc, alg.const(4))
+        pc_imm = add(pc, imm_field)
+        pc_next = dsum([
+            m(is_jal, pc_imm),
+            m(is_jalr, ADDR_BYTES),
+            m(is_br, add(m(taken, pc_imm), m(sub(one, taken), pc4))),
+            m(dsum([is_lui, is_load, is_store, is_alui, is_alur, is_ecall]),
+              pc4),
+        ])
+        pc_n = nx.data(DC.pc)
+        c.append(m(not_last, sub(pc_n, add(m(active, pc_next),
+                                           m(sub(one, active), pc)))))
+
+        # ---- register transitions ----
+        wen = dsum([is_lui, is_jal, is_jalr, is_load, is_alui, is_alur])
+        reg_terms = []
+        for kk in range(32):
+            if kk == 0:
+                w_oh = alg.zero()
+            elif kk == 10:
+                w_oh = add(m(wen, rd_oh[kk]), k_read)
+            else:
+                w_oh = m(wen, rd_oh[kk])
+            for limb in range(2):
+                r_now = reg(kk, limb)
+                r_nxt = reg(kk, limb, nx)
+                delta_w = m(w_oh, sub(rdv[limb], r_now))
+                reg_terms.append(
+                    m(not_last, sub(r_nxt, add(r_now, m(active, delta_w)))))
+        c.append(VecVal(alg.stack(reg_terms)))
+
+        # ---- ecall kind binding (t0 = reg 5) ----
+        kind_val = dsum([m(k[i], alg.const(i)) for i in range(1, 5)])
+        c.append(m(is_ecall, sub(reg(5, 0), kind_val)))
+        c.append(m(is_ecall, reg(5, 1)))
+
+        # ---- seq counters / halt / active ----
+        for seq_col, kk in ((DC.commit_seq, k_commit), (DC.read_seq, k_read),
+                            (DC.verify_seq, k_verify)):
+            c.append(m(not_last, sub(nx.data(seq_col),
+                                     add(d.data(seq_col), m(active, kk)))))
+        c.append(m(not_last, sub(nx.data(DC.halted),
+                                 add(halted, m(active, k_halt)))))
+        c.append(m(halted, active))
+        c.append(m(not_last, m(nx.data(DC.active), sub(one, active))))
+        c.append(m(is_first, halted))
+
+        # ---- sorted memory log ----
+        s_active = d.data(DC.s_active)
+        s_active_n = nx.data(DC.s_active)
+        s_w_n = nx.data(DC.s_is_write)
+        s_new = d.data(DC.s_new)
+        s_new_n = nx.data(DC.s_new)
+        s_addr, s_addr_n = d.data(DC.s_addr), nx.data(DC.s_addr)
+        s_clk, s_clk_n = d.data(DC.s_clk), nx.data(DC.s_clk)
+        s_val = [d.data(DC.s_val.start + i) for i in range(2)]
+        s_val_n = [nx.data(DC.s_val.start + i) for i in range(2)]
+        dbits_n = [nx.data(DC.s_dbits.start + i) for i in range(26)]
+        dd = add(m(s_new_n, sub(s_addr_n, s_addr)),
+                 m(sub(one, s_new_n), sub(s_clk_n, s_clk)))
+        dsum_bits = dsum([m(dbits_n[i], alg.const(1 << i)) for i in range(26)])
+        gate = m(not_last, m(s_active, s_active_n))
+        c.append(m(gate, sub(sub(dd, one), dsum_bits)))
+        c.append(m(gate, m(sub(one, s_new_n), sub(s_addr_n, s_addr))))
+        for limb in range(2):
+            c.append(m(gate, m(sub(one, s_w_n),
+                               m(sub(one, s_new_n),
+                                 sub(s_val_n[limb], s_val[limb])))))
+        c.append(m(not_last, m(s_active_n, sub(one, s_active))))
+        c.append(m(is_first, m(s_active, sub(s_new, one))))
+
+        # ---- LogUp ports: inv * pack == sel ----
+        packs, sels = _ports(alg, d, gamma, dpows)
+        for port in AC.PORTS:
+            inv = alg.read_ext(now.accum, AC.inv[port])
+            c.append(ExtVal(alg.esub(alg.emul(inv, packs[port]),
+                                     alg.lift(sels[port]))))
+
+        # ---- running sum transition + boundaries ----
+        def signed_total(accum_accessor):
+            acc = None
+            for port in AC.PORTS:
+                iv = alg.read_ext(accum_accessor, AC.inv[port])
+                if AC.SIGNS[port] < 0:
+                    iv = alg.eneg(iv)
+                acc = iv if acc is None else alg.eadd(acc, iv)
+            return acc
+
+        R_now = alg.read_ext(now.accum, AC.running)
+        R_nxt = alg.read_ext(nxt.accum, AC.running)
+        t_now = signed_total(now.accum)
+        t_next = signed_total(nxt.accum)
+        c.append(ExtVal(alg.escale(alg.esub(alg.esub(R_nxt, R_now), t_next),
+                                   not_last)))
+        c.append(ExtVal(alg.escale(alg.esub(R_now, t_now), is_first)))
+        s_pub = public_logup_sum(pub, gamma, delta)
+        c.append(ExtVal(alg.escale(
+            alg.esub(R_now, jnp.broadcast_to(s_pub, jnp.shape(R_now))),
+            is_last)))
+
+        # ---- multiplicities only on active table rows ----
+        t_act = d.ctrl(CC.t_active)
+        c.append(m(d.data(DC.mult_fetch), sub(one, t_act)))
+        c.append(m(d.data(DC.mult_init), sub(one, t_act)))
+
+        # ---- claim boundaries ----
+        bnd = []
+        for i in range(64):
+            r_col = d.data(DC.regs.start + i)
+            bnd.append(m(is_first,
+                         sub(r_col, alg.pubval(pub.pre_regs[i]))))
+            bnd.append(m(is_last,
+                         sub(r_col, alg.pubval(pub.post_regs[i]))))
+        c.append(VecVal(alg.stack(bnd)))
+        c.append(m(is_first, sub(pc, alg.pubval(pub.pre_pc))))
+        c.append(m(is_last, sub(pc, alg.pubval(pub.post_pc))))
+        c.append(m(is_last, sub(halted, alg.pubval(pub.halted))))
+        for i, (seq_col, kk) in enumerate(((DC.commit_seq, k_commit),
+                                           (DC.read_seq, k_read),
+                                           (DC.verify_seq, k_verify))):
+            s_now = d.data(seq_col)
+            c.append(m(is_first, sub(s_now, alg.pubval(pub.pre_seqs[i]))))
+            c.append(m(is_last, sub(add(s_now, m(active, kk)),
+                                    alg.pubval(pub.post_seqs[i]))))
+        return c

@@ -122,26 +122,32 @@ def _internal_linear(state, mu):
 
 
 def permute(state):
-    """Poseidon2 permutation on (..., 24) Montgomery uint32 state."""
+    """Poseidon2 permutation on (..., 24) Montgomery uint32 state.
+
+    Round loops are lax.scans so the permutation contributes O(1) ops to a
+    traced graph regardless of round count (compile latency on this stack
+    is proportional to graph size; a Merkle build calls permute per level).
+    """
     ext_rc, int_rc, mu = _constants()
     ext_rc = jnp.asarray(ext_rc)
     int_rc = jnp.asarray(int_rc)
     mu = jnp.asarray(mu)
     half = ROUNDS_FULL // 2
 
+    def ext_round(s, rc):
+        s = F.add(s, rc)
+        s = _sbox(s)
+        return _external_linear(s), None
+
+    def int_round(s, rc):
+        s0 = _sbox(F.add(s[..., 0], rc))
+        s = s.at[..., 0].set(s0)
+        return _internal_linear(s, mu), None
+
     state = _external_linear(state)  # initial linear layer (Poseidon2 spec)
-    for r in range(half):
-        state = F.add(state, ext_rc[r])
-        state = _sbox(state)
-        state = _external_linear(state)
-    for r in range(ROUNDS_PARTIAL):
-        s0 = _sbox(F.add(state[..., 0], int_rc[r]))
-        state = state.at[..., 0].set(s0)
-        state = _internal_linear(state, mu)
-    for r in range(half, ROUNDS_FULL):
-        state = F.add(state, ext_rc[r])
-        state = _sbox(state)
-        state = _external_linear(state)
+    state, _ = jax.lax.scan(ext_round, state, ext_rc[:half])
+    state, _ = jax.lax.scan(int_round, state, int_rc)
+    state, _ = jax.lax.scan(ext_round, state, ext_rc[half:])
     return state
 
 
@@ -158,11 +164,15 @@ def hash_elems(elems):
     blocks = max(1, -(-length // RATE))
     padded = jnp.zeros(batch + (blocks * RATE,), dtype=jnp.uint32)
     padded = padded.at[..., :length].set(elems)
+    # (blocks, batch..., RATE) — scan the absorb loop (graph-size O(1)).
+    xs = jnp.moveaxis(padded.reshape(batch + (blocks, RATE)), -2, 0)
     state = jnp.zeros(batch + (WIDTH,), dtype=jnp.uint32)
-    for b in range(blocks):
-        block = padded[..., b * RATE : (b + 1) * RATE]
-        state = state.at[..., :RATE].set(F.add(state[..., :RATE], block))
-        state = permute(state)
+
+    def absorb(s, block):
+        s = s.at[..., :RATE].set(F.add(s[..., :RATE], block))
+        return permute(s), None
+
+    state, _ = jax.lax.scan(absorb, state, xs)
     return state[..., :DIGEST_WORDS]
 
 

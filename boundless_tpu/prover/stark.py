@@ -100,22 +100,57 @@ class ExtVal:
         self.v = v
 
 
+class VecVal:
+    """A (..., G) base-field array carrying G independent constraints.
+
+    The combiner assigns G consecutive α powers to the trailing axis —
+    keeps the traced graph O(1) in G for uniform constraint families
+    (bool checks, per-register transitions, ...).
+    """
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+
 def combine_constraints(cons, alpha, at_deep: bool):
-    """Σ_k α^k ⊙ C_k -> (..., 4). cons items: array (base) or ExtVal (ext)."""
-    acc = None
-    weight = None  # α^k
-    for k, c in enumerate(cons):
-        w = None if k == 0 else weight
-        is_ext = isinstance(c, ExtVal) or at_deep
-        if isinstance(c, ExtVal):
-            c = c.v
-        if is_ext:
-            term = c if w is None else F.ext_mul(jnp.broadcast_to(w, c.shape), c)
+    """Σ_k α^k ⊙ C_k -> (..., 4).
+
+    cons items: base array, ExtVal (ext array), or VecVal ((..., G) base
+    array consuming G α-powers). At the DEEP point base/VecVal values are
+    already ext: base -> (4,), VecVal -> (G, 4).
+    """
+    # Assign α-power offsets.
+    sizes = []
+    for c in cons:
+        if isinstance(c, VecVal):
+            sizes.append(c.v.shape[-2] if at_deep else c.v.shape[-1])
         else:
-            term = F.ext_from_base(c) if w is None else F.ext_scale(
-                jnp.broadcast_to(w, c.shape + (EXT,)), c)
+            sizes.append(1)
+    total = sum(sizes)
+    apows = NTT.ext_powers(alpha, total)  # (total, 4)
+
+    acc = None
+    k = 0
+    for c, g in zip(cons, sizes):
+        if isinstance(c, VecVal):
+            v = c.v
+            if at_deep:  # (G, 4) ext values
+                term = F.sum_mod(F.ext_mul(apows[k : k + g], v), axis=0)
+            else:  # (M, G) base — chunked weighted sum (bounds memory)
+                term = _weighted_col_sum(v, apows[k : k + g])
+        else:
+            is_ext = isinstance(c, ExtVal) or at_deep
+            if isinstance(c, ExtVal):
+                c = c.v
+            w = apows[k]
+            if is_ext:
+                term = F.ext_mul(jnp.broadcast_to(w, c.shape), c)
+            else:
+                term = F.ext_scale(jnp.broadcast_to(w, c.shape + (EXT,)), c)
         acc = term if acc is None else F.ext_add(acc, term)
-        weight = alpha if k == 0 else F.ext_mul(weight, alpha)
+        k += g
     return acc
 
 
@@ -194,20 +229,41 @@ def _deep_points(z, n: int):
 # ---------------------------------------------------------------------------
 
 
-def prove(air: Air, data_trace, pub_digest, po2: int,
-          ps: ProofSystem = ProofSystem()) -> SegmentProof:
-    """Prove one segment. Fully jittable for fixed (air, po2, ps)."""
+def pub_digest_of(pub):
+    """Canonical binding digest of a public-values pytree."""
+    from ..core import poseidon2 as P2
+
+    leaves = jax.tree_util.tree_leaves(pub)
+    if not leaves:
+        return jnp.zeros((8,), dtype=jnp.uint32)
+    flat = jnp.concatenate([jnp.ravel(x).astype(jnp.uint32) for x in leaves])
+    return P2.hash_elems(flat)
+
+
+def prove(air: Air, data_trace, pub, po2: int,
+          ps: ProofSystem = ProofSystem(), ctrl_trace=None) -> SegmentProof:
+    """Prove one segment. Fully jittable for fixed (air, po2, ps).
+
+    `pub`: public-values pytree (Montgomery uint32 arrays), visible to the
+    AIR's constraints and bound into the transcript via its hash.
+    `ctrl_trace`: required iff `air.ctrl_dynamic` (e.g. the rv32im image
+    table — per-program data passed as an argument so one compiled prover
+    serves every program).
+    """
     n = 1 << po2
     assert data_trace.shape == (n, air.data_cols)
     big = INV_RATE * n
 
     tr = Transcript()
-    tr.mix_digest(pub_digest)
+    tr.mix_digest(pub_digest_of(pub))
 
     # --- commit ctrl (circuit-static) and data ---
     has_ctrl = air.ctrl_cols > 0
     has_accum = air.accum_cols > 0
-    ctrl_trace = air.ctrl_trace(n) if has_ctrl else None
+    if has_ctrl and ctrl_trace is None:
+        assert not getattr(air, "ctrl_dynamic", False), \
+            "this AIR requires a ctrl_trace argument"
+        ctrl_trace = air.ctrl_trace(n)
     if has_ctrl:
         ctrl_coeffs, ctrl_evals, ctrl_tree = _lde_commit(ctrl_trace)
         tr.mix_digest(ctrl_tree.root)
@@ -240,7 +296,7 @@ def prove(air: Air, data_trace, pub_digest, po2: int,
         data=_ColAccessor(col_view(data_evals, INV_RATE)),
         accum=_ColAccessor(col_view(accum_evals if has_accum else None, INV_RATE)),
     )
-    cons = air.constraints(BaseAlg(), now, nxt, globals_)
+    cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
     combined = combine_constraints(cons, alpha, at_deep=False)  # (4N, 4)
     _, inv_z = _domain_tables(n)
     q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
@@ -362,7 +418,7 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
 # ---------------------------------------------------------------------------
 
 
-def verify(air: Air, proof: SegmentProof, pub_digest, po2: int,
+def verify(air: Air, proof: SegmentProof, pub, po2: int,
            control_root=None, ps: ProofSystem = ProofSystem()):
     """Verify a SegmentProof. Returns a scalar bool array.
 
@@ -375,7 +431,7 @@ def verify(air: Air, proof: SegmentProof, pub_digest, po2: int,
     has_accum = air.accum_cols > 0
 
     tr = Transcript()
-    tr.mix_digest(pub_digest)
+    tr.mix_digest(pub_digest_of(pub))
     if has_ctrl:
         assert control_root is not None
         tr.mix_digest(control_root)
@@ -406,7 +462,7 @@ def verify(air: Air, proof: SegmentProof, pub_digest, po2: int,
         data=_TapAccessor(proof.taps_data, 1),
         accum=_TapAccessor(proof.taps_accum, 1) if has_accum else None,
     )
-    cons = air.constraints(ExtAlg(), now, nxt, globals_)
+    cons = air.constraints(ExtAlg(), now, nxt, globals_, pub)
     combined = combine_constraints(cons, alpha, at_deep=True)
     z_pow_n = F.ext_pow_const(z_, n)
     zz = F.ext_sub(z_pow_n, F.ext_ones(()))  # Z(z) = z^N - 1
@@ -472,38 +528,54 @@ def verify(air: Air, proof: SegmentProof, pub_digest, po2: int,
 
 
 def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
-    """Returns jitted fn(data_trace, pub_digest) -> SegmentProof."""
+    """Returns a jitted prover.
+
+    Static-ctrl AIRs: fn(data_trace, pub) -> SegmentProof.
+    ctrl_dynamic AIRs: fn(data_trace, pub, ctrl_trace) -> SegmentProof.
+    """
+    if getattr(air, "ctrl_dynamic", False):
+
+        @jax.jit
+        def _prove_dyn(data_trace, pub, ctrl_trace):
+            return prove(air, data_trace, pub, po2, ps, ctrl_trace)
+
+        return _prove_dyn
 
     @jax.jit
-    def _prove(data_trace, pub_digest):
-        return prove(air, data_trace, pub_digest, po2, ps)
+    def _prove(data_trace, pub):
+        return prove(air, data_trace, pub, po2, ps)
 
     return _prove
 
 
 def make_verifier(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
-    """Returns jitted fn(proof, pub_digest[, control_root]) -> bool."""
+    """Returns jitted fn(proof, pub[, control_root]) -> bool."""
     if air.ctrl_cols > 0:
 
         @jax.jit
-        def _verify(proof, pub_digest, control_root):
-            return verify(air, proof, pub_digest, po2, control_root, ps)
+        def _verify(proof, pub, control_root):
+            return verify(air, proof, pub, po2, control_root, ps)
 
         return _verify
 
     @jax.jit
-    def _verify_nc(proof, pub_digest):
-        return verify(air, proof, pub_digest, po2, None, ps)
+    def _verify_nc(proof, pub):
+        return verify(air, proof, pub, po2, None, ps)
 
     return _verify_nc
 
 
-def control_root_of(air: Air, po2: int):
-    """The circuit's control ID: Merkle root of the ctrl group LDE."""
+def control_root_of(air: Air, po2: int, ctrl_trace=None):
+    """The circuit's control ID: Merkle root of the ctrl group LDE.
+
+    For ctrl_dynamic AIRs (rv32im) this is the program's image_id.
+    """
     n = 1 << po2
 
     @jax.jit
-    def _root():
-        return _lde_commit(air.ctrl_trace(n))[2].root
+    def _root(ct):
+        return _lde_commit(ct)[2].root
 
-    return _root()
+    if ctrl_trace is None:
+        ctrl_trace = air.ctrl_trace(n)
+    return _root(ctrl_trace)

@@ -7,15 +7,21 @@ runs the guest, counts cycles, cuts the execution into 2^po2-cycle segments
 prover, and implements the guest<->host ABI (journal commit, input reads,
 assumption verification for composition).
 
-Guest ABI (our own, documented — guests are assembled in-repo, see asm.py):
+Guest ABI (our own, documented — guests are assembled in-repo, see asm.py).
+I/O is **word-granular** so the circuit can bind it to public word tables
+without in-circuit hashing (see air/rv32im.py):
   ecall with t0 =
     0 HALT        a0 = exit code (journal finalized)
-    1 COMMIT      a0 = ptr, a1 = len   append bytes to the journal
-    2 READ        a0 = ptr, a1 = max   read input bytes, count -> a0
-    3 LOG         a0 = ptr, a1 = len   host log (guest stdout)
-    4 VERIFY      a0 = ptr to 32-byte claim digest: record an assumption
-                  (composition — resolved at the resolve stage, SURVEY §3.1)
-  Every non-halt ecall costs 1 cycle.
+    1 COMMIT      a0 = 32-bit word appended to the journal
+    2 READ        a0 <- next input word (input is a u32-word stream;
+                  reading past the end is a guest fault — by convention
+                  input[0] carries the payload word count)
+    3 LOG         a0 = ptr, a1 = len   host log bytes (debug only;
+                  unconstrained in-circuit)
+    4 VERIFY      a0 = one word of an assumption claim digest (8 calls
+                  push a full digest; composition — resolved at the
+                  resolve stage, SURVEY §3.1)
+  Every ecall costs 1 cycle.
 """
 
 from __future__ import annotations
@@ -71,7 +77,8 @@ class Segment:
     pre_mem: dict  # addr -> u32 snapshot at segment start (touched pages only)
     cycles: int  # actual user cycles executed in this segment
     # I/O interactions consumed during this segment (for witness re-run):
-    reads: list  # list of bytes chunks returned by READ during the segment
+    reads: list  # input words returned by READ during the segment
+    pre_seqs: dict  # session commit/read/verify counters at segment start
     is_final: bool
     image_id: bytes
 
@@ -100,9 +107,12 @@ class Executor:
         self.mem = dict(image.words)
         self.regs = np.zeros(32, dtype=np.uint64)
         self.pc = image.entry
-        self.input = input_bytes
+        self.input_words = [
+            int.from_bytes(input_bytes[i : i + 4].ljust(4, b"\0"), "little")
+            for i in range(0, len(input_bytes), 4)]
         self.input_pos = 0
-        self.journal = bytearray()
+        self.journal_words = []
+        self.verify_words = []
         self.log = bytearray()
         self.assumptions = []
         self.segment_po2 = segment_po2
@@ -159,8 +169,9 @@ class Executor:
             total += seg.cycles
             if total > self.max_cycles:
                 raise GuestFault("session cycle limit exceeded")
+        journal = b"".join(w.to_bytes(4, "little") for w in self.journal_words)
         return SessionResult(
-            segments=segments, journal=bytes(self.journal),
+            segments=segments, journal=journal,
             exit_code=self.exit_code, total_cycles=total,
             assumptions=self.assumptions, log=bytes(self.log),
             image_id=self.image.image_id())
@@ -169,6 +180,8 @@ class Executor:
         pre_pc = self.pc
         pre_regs = self.regs.copy().astype(np.uint32)
         pre_mem = dict(self.mem)
+        pre_seqs = dict(commit=len(self.journal_words), read=self.input_pos,
+                        verify=len(self.verify_words))
         reads = []
         cycles = 0
         while cycles < self.segment_limit and self.exit_code is None:
@@ -176,7 +189,8 @@ class Executor:
             cycles += 1
         return Segment(index=index, po2=self.segment_po2, pre_pc=pre_pc,
                        pre_regs=pre_regs, pre_mem=pre_mem, cycles=cycles,
-                       reads=reads, is_final=self.exit_code is not None,
+                       reads=reads, pre_seqs=pre_seqs,
+                       is_final=self.exit_code is not None,
                        image_id=self.image.image_id())
 
     def step(self, reads_log=None):
@@ -296,18 +310,22 @@ class Executor:
         if code == HALT:
             self.exit_code = a0
         elif code == COMMIT:
-            self.journal += self.read_bytes(a0, a1)
+            self.journal_words.append(a0)
         elif code == READ:
-            data = self.input[self.input_pos : self.input_pos + a1]
-            self.input_pos += len(data)
-            for i, byte in enumerate(data):
-                self.store(a0 + i, 1, byte)
-            self.regs[10] = np.uint64(len(data))
+            if self.input_pos >= len(self.input_words):
+                raise GuestFault("guest read past end of input")
+            word = self.input_words[self.input_pos]
+            self.input_pos += 1
+            self.regs[10] = np.uint64(word)
             if reads_log is not None:
-                reads_log.append(data)
+                reads_log.append(word)
         elif code == LOG:
             self.log += self.read_bytes(a0, a1)
         elif code == VERIFY:
-            self.assumptions.append(self.read_bytes(a0, 32))
+            self.verify_words.append(a0)
+            if len(self.verify_words) % 8 == 0:
+                digest = b"".join(w.to_bytes(4, "little")
+                                  for w in self.verify_words[-8:])
+                self.assumptions.append(digest)
         else:
             raise GuestFault(f"unknown ecall {code}")

@@ -3,6 +3,10 @@
 Counterparts of the reference's test guests (`crates/guest/util`: echo,
 identity, loop — reference `echo/src/main.rs:19-26`, `loop/src/main.rs:17-34`,
 `identity/src/main.rs:27-37`) and the bento `sample-guest` iteration loads.
+
+I/O ABI is word-granular (see executor.py): READ pops one input word into
+a0; COMMIT appends a0 to the journal; VERIFY pushes one assumption-digest
+word (8 calls per digest).
 """
 
 from __future__ import annotations
@@ -10,87 +14,133 @@ from __future__ import annotations
 from . import asm
 from .executor import MemoryImage
 
-# echo: journal := entire input, then halt 0.
+# echo: first input word = payload word count n; journal := the n payload
+# words. Pure register machine (no RAM) — provable by the v1 AIR.
 ECHO_SRC = """
 start:
-    li a0, 0x10000      # input buffer
-    li a1, 4096
-    li t0, 2            # READ
-    ecall
-    mv a1, a0           # bytes read
-    li a0, 0x10000
-    li t0, 1            # COMMIT
-    ecall
-    li t0, 0            # HALT
+    li t0, 2
+    ecall               # a0 = n
+    mv s2, a0
+    li s3, 0
+loop:
+    beq s3, s2, done
+    li t0, 2
+    ecall               # a0 = next payload word
+    li t0, 1
+    ecall               # commit it
+    addi s3, s3, 1
+    j loop
+done:
+    li t0, 0
     li a0, 0
     ecall
 """
 
-# loop: read a 4-byte LE count, spin that many iterations, commit the count.
+# loop: input word 0 = iteration count; spin; commit the count.
 LOOP_SRC = """
 start:
-    li a0, 0x10000
-    li a1, 4
-    li t0, 2            # READ count
-    ecall
-    li t1, 0x10000
-    lw t2, 0(t1)        # iterations
-    li t3, 0
+    li t0, 2
+    ecall               # a0 = iterations
+    mv s2, a0
+    li s3, 0
 spin:
-    beq t3, t2, done
-    addi t3, t3, 1
+    beq s3, s2, done
+    addi s3, s3, 1
     j spin
 done:
-    li a0, 0x10000
-    li a1, 4
-    li t0, 1            # COMMIT the count
-    ecall
+    mv a0, s2
+    li t0, 1
+    ecall               # commit count
     li t0, 0
     li a0, 0
     ecall
 """
 
-# identity: read a 32-byte claim digest, VERIFY it (assumption), commit it.
+# identity: read 8 digest words; VERIFY each (records one assumption);
+# commit each (journal = the digest). The composition primitive.
 IDENTITY_SRC = """
 start:
-    li a0, 0x10000
-    li a1, 32
-    li t0, 2            # READ digest
-    ecall
-    li a0, 0x10000
-    li t0, 4            # VERIFY (add assumption)
-    ecall
-    li a0, 0x10000
-    li a1, 32
-    li t0, 1            # COMMIT digest
-    ecall
+    li s2, 8
+    li s3, 0
+loop:
+    beq s3, s2, done
+    li t0, 2
+    ecall               # read word
+    mv s4, a0
+    li t0, 4
+    ecall               # verify word
+    mv a0, s4
+    li t0, 1
+    ecall               # commit word
+    addi s3, s3, 1
+    j loop
+done:
     li t0, 0
     li a0, 0
     ecall
 """
 
-# busy multiply guest exercising the M extension.
+# muldiv: read a, b; commit mul/mulhu/divu/remu results (M extension —
+# executor-only until the AIR grows M support).
 MULDIV_SRC = """
 start:
-    li a0, 0x10000
-    li a1, 8
-    li t0, 2            # READ two u32 LE
+    li t0, 2
     ecall
-    li t1, 0x10000
-    lw a2, 0(t1)
-    lw a3, 4(t1)
+    mv a2, a0           # a
+    li t0, 2
+    ecall
+    mv a3, a0           # b
     mul a4, a2, a3
     mulhu a5, a2, a3
     divu a6, a2, a3
     remu a7, a2, a3
-    sw a4, 0(t1)
-    sw a5, 4(t1)
-    sw a6, 8(t1)
-    sw a7, 12(t1)
-    li a0, 0x10000
-    li a1, 16
-    li t0, 1            # COMMIT results
+    mv a0, a4
+    li t0, 1
     ecall
+    mv a0, a5
+    li t0, 1
+    ecall
+    mv a0, a6
+    li t0, 1
+    ecall
+    mv a0, a7
+    li t0, 1
+    ecall
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+# memtest: exercises RAM (sw/lw): stores input words to a buffer, reads
+# them back in reverse, commits. Tests the sorted-memory argument.
+MEMTEST_SRC = """
+start:
+    li t0, 2
+    ecall               # n
+    mv s2, a0
+    li s4, 0x20000      # buffer
+    li s3, 0
+store_loop:
+    beq s3, s2, read_phase
+    li t0, 2
+    ecall               # next word
+    slli t1, s3, 2
+    add t1, t1, s4
+    sw a0, 0(t1)
+    addi s3, s3, 1
+    j store_loop
+read_phase:
+    mv s3, s2
+read_loop:
+    beqz s3, done
+    addi s3, s3, -1
+    slli t1, s3, 2
+    add t1, t1, s4
+    lw a0, 0(t1)
+    li t0, 1
+    ecall               # commit (reverse order)
+    j read_loop
+done:
     li t0, 0
     li a0, 0
     ecall
@@ -116,3 +166,12 @@ def identity() -> MemoryImage:
 
 def muldiv() -> MemoryImage:
     return build(MULDIV_SRC)
+
+
+def memtest() -> MemoryImage:
+    return build(MEMTEST_SRC)
+
+
+def words(ints):
+    """Pack a list of u32 ints into input bytes."""
+    return b"".join((int(w) & 0xFFFFFFFF).to_bytes(4, "little") for w in ints)

@@ -1,0 +1,92 @@
+"""Segment proving pipeline: executor segment -> SegmentReceipt.
+
+The TPU-side of the reference's prove task (`prover/crates/workflow/src/
+tasks/prove.rs:17-104`): fetch segment, prove, verify integrity, hand the
+receipt to the recursion layer. Provers/verifiers are jitted once per
+(po2, proof-system) and cached — the same compiled XLA program serves
+every program/segment (the image table is an argument, not a constant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..air.rv32im import Rv32imAir, PublicValues
+from ..core import field as F
+from ..prover import stark
+from . import witness
+from .executor import Segment, MemoryImage
+
+# Default proof system: 50 queries at rate 1/4 (~100-bit), risc0-shaped.
+DEFAULT_PS = stark.ProofSystem(queries=50, fri_min_degree=256)
+# Small system for CI (fast compile/runtime; NOT production soundness).
+TEST_PS = stark.ProofSystem(queries=8, fri_min_degree=16)
+
+_AIR = Rv32imAir()
+
+
+@dataclasses.dataclass
+class SegmentReceipt:
+    """Proof + claim for one segment.
+
+    claim fields are canonical numpy ints; image_id is the Merkle control
+    root (the program's proof-level identity).
+    """
+
+    proof: stark.SegmentProof
+    pub: dict  # canonical claim values (witness.SegmentWitness.pub)
+    image_id: np.ndarray  # (8,) canonical u32 digest words
+    po2: int
+
+
+@functools.lru_cache(maxsize=None)
+def _prover(po2: int, ps: stark.ProofSystem):
+    return stark.make_prover(_AIR, po2, ps)
+
+
+@functools.lru_cache(maxsize=None)
+def _verifier(po2: int, ps: stark.ProofSystem):
+    return stark.make_verifier(_AIR, po2, ps)
+
+
+_IMAGE_CTRL_CACHE: dict = {}
+
+
+def _image_ctrl(image: MemoryImage, po2: int):
+    key = (image.image_id(), po2)
+    if key not in _IMAGE_CTRL_CACHE:
+        ctrl = F.fp(witness.build_ctrl_trace(image, po2))
+        root = stark.control_root_of(_AIR, po2, ctrl)
+        _IMAGE_CTRL_CACHE[key] = (ctrl, np.asarray(F.from_mont(root)))
+    return _IMAGE_CTRL_CACHE[key]
+
+
+def image_id_of(image: MemoryImage, po2: int) -> np.ndarray:
+    """Proof-level image id: Merkle root of the decoded image table LDE."""
+    return _image_ctrl(image, po2)[1]
+
+
+def prove_segment(image: MemoryImage, seg: Segment,
+                  ps: stark.ProofSystem = DEFAULT_PS) -> SegmentReceipt:
+    """Generate the witness and prove one segment (jitted XLA program)."""
+    w = witness.trace_segment(image, seg, seg.po2)
+    data = F.fp(w.data)
+    ctrl, image_id = _image_ctrl(image, seg.po2)
+    pub = witness.to_public_values(w.pub)
+    proof = _prover(seg.po2, ps)(data, pub, ctrl)
+    return SegmentReceipt(proof=proof, pub=w.pub, image_id=image_id,
+                          po2=seg.po2)
+
+
+def verify_segment(receipt: SegmentReceipt,
+                   ps: stark.ProofSystem = DEFAULT_PS) -> bool:
+    """Verify a SegmentReceipt against its claimed image id."""
+    pub = witness.to_public_values(receipt.pub)
+    control_root = F.fp(np.asarray(receipt.image_id, dtype=np.int64))
+    ok = _verifier(receipt.po2, ps)(receipt.proof, pub, control_root)
+    return bool(ok)

@@ -1,0 +1,451 @@
+"""Witness generation: executor segment -> rv32im AIR traces.
+
+Host-side counterpart of the reference's `risc0-circuit-rv32im-sys`
+witness-gen (SURVEY.md §2.4: "witness-gen host-side feeding device trace
+buffers"). Replays one segment cycle-by-cycle, filling every data-group
+column of air/rv32im.py, the decoded-image ctrl table, and the public
+claim values. All values here are canonical ints (numpy int64); the caller
+lifts to Montgomery device arrays with F.fp once per trace.
+
+A C++ port of this replay loop is the planned optimization for keeping
+TPU chips fed at large po2 (same split as the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..air.rv32im import DC, CC, TAG, IO_MAX, PublicValues
+from ..core import field as F
+from . import isa
+from .executor import Segment, MemoryImage, GuestFault, M32
+
+
+def _signed(v):
+    return v - (1 << 32) if v & 0x80000000 else v
+
+
+def decode_row(addr: int, word: int):
+    """One decoded image-table row: [t_pc, word_lo, word_hi, sel10, f3sel8,
+    alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2]."""
+    d = isa.decode(word)
+    op = d["op"]
+    sel = [0] * 10
+    f3v = d["f3"]
+    alt = 0
+    imm_lo = imm_hi = imm_field = 0
+    rd, rs1, rs2 = d["rd"], d["rs1"], d["rs2"]
+    if op == isa.OP_LUI:
+        sel[0] = 1
+        imm_lo, imm_hi = d["imm_u"] & 0xFFFF, d["imm_u"] >> 16
+        rs1 = rs2 = 0
+    elif op == isa.OP_AUIPC:
+        sel[1] = 1
+        imm_lo, imm_hi = d["imm_u"] & 0xFFFF, d["imm_u"] >> 16
+        rs1 = rs2 = 0
+    elif op == isa.OP_JAL:
+        sel[2] = 1
+        imm_field = d["imm_j"] % F.P
+        rs1 = rs2 = 0
+    elif op == isa.OP_JALR:
+        sel[3] = 1
+        imm32 = d["imm_i"] & M32
+        imm_lo, imm_hi = imm32 & 0xFFFF, imm32 >> 16
+        rs2 = 0
+    elif op == isa.OP_BRANCH:
+        sel[4] = 1
+        imm_field = d["imm_b"] % F.P
+        rd = 0
+    elif op == isa.OP_LOAD:
+        sel[5] = 1
+        imm32 = d["imm_i"] & M32
+        imm_lo, imm_hi = imm32 & 0xFFFF, imm32 >> 16
+        rs2 = 0
+    elif op == isa.OP_STORE:
+        sel[6] = 1
+        imm32 = d["imm_s"] & M32
+        imm_lo, imm_hi = imm32 & 0xFFFF, imm32 >> 16
+        rd = 0
+    elif op == isa.OP_IMM:
+        sel[7] = 1
+        if f3v in (1, 5):  # shifts: imm = shamt only; alt from bit 30
+            imm_lo = (d["imm_i"] & 0x1F)
+            alt = (word >> 30) & 1
+        else:
+            imm32 = d["imm_i"] & M32
+            imm_lo, imm_hi = imm32 & 0xFFFF, imm32 >> 16
+        rs2 = 0
+    elif op == isa.OP_REG:
+        sel[8] = 1
+        alt = (word >> 30) & 1
+    elif op == isa.OP_SYSTEM:
+        sel[9] = 1
+        rd = rs1 = rs2 = 0
+        f3v = 0
+    else:
+        # data word / unsupported op: inert row (fetching it is unprovable
+        # because every sel is 0, violating sum(sel) == active).
+        sel = [0] * 10
+        rd = rs1 = rs2 = 0
+        f3v = 0
+    f3sel = [0] * 8
+    f3sel[f3v] = 1
+    if not any(sel):
+        f3sel = [0] * 8
+    return ([addr, word & 0xFFFF, word >> 16] + sel + f3sel
+            + [alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2])
+
+
+def build_ctrl_trace(image: MemoryImage, po2: int) -> np.ndarray:
+    """Ctrl-group trace (canonical int64): selectors + decoded image table.
+
+    Its Merkle-committed LDE root is the program's image id for proofs.
+    """
+    n = 1 << po2
+    rows = sorted(image.words.items())
+    assert len(rows) <= n, "program larger than segment trace"
+    ctrl = np.zeros((n, CC.total), dtype=np.int64)
+    ctrl[0, CC.is_first] = 1
+    ctrl[: n - 1, CC.not_last] = 1
+    ctrl[:, CC.clk] = np.arange(n)
+    for i, (addr, word) in enumerate(rows):
+        row = decode_row(addr, word)
+        ctrl[i, CC.t_active] = 1
+        ctrl[i, CC.t_pc] = row[0]
+        ctrl[i, CC.t_word.start : CC.t_word.stop] = row[1:3]
+        ctrl[i, CC.t_sel.start : CC.t_sel.stop] = row[3:13]
+        ctrl[i, CC.t_f3.start : CC.t_f3.stop] = row[13:21]
+        ctrl[i, CC.t_alt] = row[21]
+        ctrl[i, CC.t_imm_lo] = row[22]
+        ctrl[i, CC.t_imm_hi] = row[23]
+        ctrl[i, CC.t_imm_field] = row[24]
+        ctrl[i, CC.t_rd] = row[25]
+        ctrl[i, CC.t_rs1] = row[26]
+        ctrl[i, CC.t_rs2] = row[27]
+    return ctrl
+
+
+@dataclasses.dataclass
+class SegmentWitness:
+    data: np.ndarray  # (N, DC.total) canonical int64
+    ctrl: np.ndarray  # (N, CC.total)
+    pub: dict  # canonical int64 arrays matching PublicValues fields
+
+
+def _bits(v, n=32):
+    return [(v >> i) & 1 for i in range(n)]
+
+
+def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
+    """Replay one segment and fill the full witness.
+
+    seg.reads: word list consumed by READ ecalls during this segment.
+    Raises GuestFault on executions outside the v1 provable subset.
+    """
+    n = 1 << po2
+    assert seg.cycles <= n - 1
+    data = np.zeros((n, DC.total), dtype=np.int64)
+    ctrl = build_ctrl_trace(image, po2)
+    addr_to_trow = {a: i for i, (a, _) in
+                    enumerate(sorted(image.words.items()))}
+
+    regs = seg.pre_regs.astype(np.int64).copy()
+    mem = dict(seg.pre_mem)
+    pc = seg.pre_pc
+    reads = list(seg.reads)
+    # session-wide sequence numbers resume from the claim
+    seqs = dict(seg.pre_seqs)
+    pre_seqs = [seqs["commit"], seqs["read"], seqs["verify"]]
+    pre_regs_limbs = _reg_limbs(regs)
+    pre_pc = pc
+
+    mem_ops = []  # (clk, word_addr, is_write, value)
+    io_rows = []  # (tag, seq, lo, hi)
+    halted = False
+    # default one-hots on every row (incl. padding): index 0
+    data[:, DC.rd_oh.start] = 1
+    data[:, DC.rs1_oh.start] = 1
+    data[:, DC.rs2_oh.start] = 1
+    data[:, DC.sh_oh.start] = 1
+
+    for clk in range(seg.cycles):
+        row = data[clk]
+        row[DC.pc] = pc
+        row[DC.regs.start : DC.regs.stop] = _reg_limbs(regs)
+        row[DC.active] = 1
+        row[DC.halted] = 1 if halted else 0
+        row[DC.commit_seq] = seqs["commit"]
+        row[DC.read_seq] = seqs["read"]
+        row[DC.verify_seq] = seqs["verify"]
+        if halted:
+            raise GuestFault("cycle after halt")
+
+        word = mem.get(pc & ~3)
+        if word is None:
+            raise GuestFault(f"fetch from unmapped pc {pc:#x}")
+        if (pc & ~3) not in image.words or mem[pc & ~3] != image.words[pc & ~3]:
+            raise GuestFault("self-modifying code is not provable")
+        trow = decode_row(pc, word)
+        sel = trow[3:13]
+        f3sel = trow[13:21]
+        alt = trow[21]
+        imm_lo, imm_hi, imm_field = trow[22], trow[23], trow[24]
+        rd, rs1, rs2 = trow[25], trow[26], trow[27]
+        if sel[1]:
+            raise GuestFault("AUIPC not provable in v1")
+        if not any(sel):
+            raise GuestFault(f"unprovable instruction {word:#010x} at {pc:#x}")
+        f3 = f3sel.index(1)
+
+        row[DC.sel.start : DC.sel.stop] = sel
+        row[DC.f3.start : DC.f3.stop] = f3sel
+        row[DC.alt] = alt
+        row[DC.imm_lo], row[DC.imm_hi], row[DC.imm_field] = imm_lo, imm_hi, imm_field
+        row[DC.rd_oh.start] = 0
+        row[DC.rs1_oh.start] = 0
+        row[DC.rs2_oh.start] = 0
+        row[DC.rd_oh.start + rd] = 1
+        row[DC.rs1_oh.start + rs1] = 1
+        row[DC.rs2_oh.start + rs2] = 1
+        row[DC.mult_fetch] = 0  # filled later (per table row)
+
+        rs1v = int(regs[rs1]) & M32
+        rs2v = int(regs[rs2]) & M32
+        imm32 = (imm_lo | (imm_hi << 16)) & M32
+        use_imm = sel[7] or sel[5] or sel[6] or sel[3]
+        op2 = imm32 if use_imm else rs2v
+        row[DC.rs1v.start], row[DC.rs1v.start + 1] = rs1v & 0xFFFF, rs1v >> 16
+        row[DC.rs2v.start], row[DC.rs2v.start + 1] = rs2v & 0xFFFF, rs2v >> 16
+        row[DC.op2.start], row[DC.op2.start + 1] = op2 & 0xFFFF, op2 >> 16
+
+        is_alu = sel[7] or sel[8]
+        bind_ab = is_alu or sel[4]
+        if bind_ab:
+            row[DC.a_bits.start : DC.a_bits.stop] = _bits(rs1v)
+            row[DC.b_bits.start : DC.b_bits.stop] = _bits(op2)
+
+        rdv = 0
+        next_pc = (pc + 4) & M32
+        r32 = None  # value whose bits land in r_bits
+        c0 = c1 = 0
+
+        def addm():
+            nonlocal r32, c0, c1
+            s = rs1v + op2
+            r32 = s & M32
+            c0 = 1 if (rs1v & 0xFFFF) + (op2 & 0xFFFF) >= (1 << 16) else 0
+            c1 = 1 if s >= (1 << 32) else 0
+
+        def subm():
+            nonlocal r32, c0, c1
+            s = rs1v - op2
+            r32 = s & M32
+            # b + r = a + c*2^32 limbwise
+            c0 = 1 if (op2 & 0xFFFF) + (r32 & 0xFFFF) >= (1 << 16) else 0
+            c1 = 1 if op2 + r32 >= (1 << 32) else 0
+
+        if sel[0]:  # LUI
+            rdv = imm32
+        elif sel[2]:  # JAL
+            r32 = (pc + 4) & M32
+            rdv = r32
+            next_pc = (pc + isa.sign_extend(
+                int(_unmod(imm_field)), 32)) & M32
+        elif sel[3]:  # JALR
+            addm()
+            target = r32
+            if target & 3 or target >= (1 << 26):
+                raise GuestFault("jalr target unaligned or out of range")
+            next_pc = target
+            rdv = (pc + 4) & M32
+            row[DC.b_bits.start : DC.b_bits.stop] = _bits(rdv)
+        elif sel[4]:  # BRANCH
+            subm()
+            lt_u = c1
+            a31, b31 = (rs1v >> 31) & 1, (op2 >> 31) & 1
+            lt_s = lt_u ^ a31 ^ b31
+            z = (r32 & 0xFFFF) + (r32 >> 16)
+            eqf = 1 if z == 0 else 0
+            row[DC.eq] = eqf
+            row[DC.z_inv] = pow(z % F.P, F.P - 2, F.P) if z else 0
+            taken = {0: eqf, 1: 1 - eqf, 4: lt_s, 5: 1 - lt_s,
+                     6: lt_u, 7: 1 - lt_u}[f3]
+            row[DC.taken] = taken
+            if taken:
+                next_pc = (pc + isa.sign_extend(
+                    int(_unmod(imm_field)), 32)) & M32
+        elif sel[5] or sel[6]:  # LOAD / STORE
+            addm()
+            addr = r32
+            if addr & 3 or addr >= (1 << 26):
+                raise GuestFault("memory access unaligned or out of range")
+            waddr = addr >> 2
+            if sel[5]:
+                val = mem.get(addr, None)
+                if val is None:
+                    raise GuestFault(
+                        "uninitialized read (first access must be a write "
+                        "or an image word)")
+                rdv = val
+                mem_ops.append((clk, waddr, 0, val))
+            else:
+                mem[addr] = rs2v
+                mem_ops.append((clk, waddr, 1, rs2v))
+        elif sel[7] or sel[8]:  # ALU
+            if f3 == 0:
+                if alt:
+                    subm()
+                else:
+                    addm()
+                rdv = r32
+            elif f3 in (2, 3):
+                subm()
+                lt_u = c1
+                a31, b31 = (rs1v >> 31) & 1, (op2 >> 31) & 1
+                lt_s = lt_u ^ a31 ^ b31
+                rdv = lt_s if f3 == 2 else lt_u
+            elif f3 == 1:
+                sh = op2 & 0x1F
+                r32 = (rs1v << sh) & M32
+                rdv = r32
+                row[DC.sh_oh.start] = 0
+                row[DC.sh_oh.start + sh] = 1
+            elif f3 == 5:
+                sh = op2 & 0x1F
+                r32 = ((_signed(rs1v) >> sh) & M32) if alt else (rs1v >> sh)
+                rdv = r32
+                row[DC.sh_oh.start] = 0
+                row[DC.sh_oh.start + sh] = 1
+            else:  # logic
+                r32 = {4: rs1v ^ op2, 6: rs1v | op2, 7: rs1v & op2}[f3]
+                rdv = r32
+        elif sel[9]:  # ECALL
+            t0 = int(regs[5]) & M32
+            if t0 > 4:
+                raise GuestFault(f"unknown ecall {t0}")
+            row[DC.k.start + t0] = 1
+            a0 = int(regs[10]) & M32
+            if t0 == 0:  # HALT
+                halted = True
+            elif t0 == 1:  # COMMIT
+                io_rows.append((TAG["commit"], seqs["commit"],
+                                a0 & 0xFFFF, a0 >> 16))
+                seqs["commit"] += 1
+            elif t0 == 2:  # READ
+                if not reads:
+                    raise GuestFault("segment read log exhausted")
+                wv = reads.pop(0)
+                rdv = wv
+                io_rows.append((TAG["read"], seqs["read"],
+                                wv & 0xFFFF, wv >> 16))
+                seqs["read"] += 1
+                regs[10] = wv
+            elif t0 == 4:  # VERIFY
+                io_rows.append((TAG["verify"], seqs["verify"],
+                                a0 & 0xFFFF, a0 >> 16))
+                seqs["verify"] += 1
+            # t0 == 3 (LOG): no constrained effect
+
+        if r32 is not None:
+            row[DC.r_bits.start : DC.r_bits.stop] = _bits(r32)
+        row[DC.c0], row[DC.c1] = c0, c1
+        row[DC.rdv.start], row[DC.rdv.start + 1] = rdv & 0xFFFF, rdv >> 16
+
+        # apply register write
+        wen = sel[0] or sel[2] or sel[3] or sel[5] or sel[7] or sel[8]
+        if wen and rd != 0:
+            regs[rd] = rdv
+        pc = next_pc
+
+    if halted != bool(seg.is_final):
+        # non-final segments pause un-halted; final ones must have halted
+        raise GuestFault("segment halt state does not match plan")
+
+    # padding rows: frozen state
+    for clk in range(seg.cycles, n):
+        row = data[clk]
+        row[DC.pc] = pc
+        row[DC.regs.start : DC.regs.stop] = _reg_limbs(regs)
+        row[DC.halted] = 1 if halted else 0
+        row[DC.commit_seq] = seqs["commit"]
+        row[DC.read_seq] = seqs["read"]
+        row[DC.verify_seq] = seqs["verify"]
+
+    # fetch multiplicities
+    for clk in range(seg.cycles):
+        t = addr_to_trow[int(data[clk, DC.pc]) & ~3]
+        data[t, DC.mult_fetch] += 1
+
+    # sorted memory log + init multiplicities
+    mem_ops.sort(key=lambda t: (t[1], t[0]))
+    assert len(mem_ops) <= n, "too many memory ops for trace length"
+    prev_addr = None
+    for i, (clk, waddr, is_w, val) in enumerate(mem_ops):
+        data[i, DC.s_active] = 1
+        data[i, DC.s_is_write] = is_w
+        data[i, DC.s_addr] = waddr
+        data[i, DC.s_clk] = clk
+        data[i, DC.s_val.start] = val & 0xFFFF
+        data[i, DC.s_val.start + 1] = val >> 16
+        new = 1 if waddr != prev_addr else 0
+        data[i, DC.s_new] = new
+        if i > 0 and data[i - 1, DC.s_active]:
+            d = (waddr - int(data[i - 1, DC.s_addr])) if new else (
+                clk - int(data[i - 1, DC.s_clk]))
+            assert d >= 1
+            data[i, DC.s_dbits.start : DC.s_dbits.stop] = _bits(d - 1, 26)
+        if new and not is_w:
+            byte_addr = waddr << 2
+            trow = addr_to_trow.get(byte_addr)
+            if trow is None or (image.words[byte_addr] != val):
+                raise GuestFault("init read does not match image")
+            data[trow, DC.mult_init] += 1
+        prev_addr = waddr
+
+    # public values
+    io = np.zeros((IO_MAX, 5), dtype=np.int64)
+    assert len(io_rows) <= IO_MAX, "too many io words in one segment"
+    for i, (tag, seq, lo, hi) in enumerate(io_rows):
+        io[i] = [tag, seq, lo, hi, 1]
+    pub = dict(
+        pre_pc=np.int64(pre_pc),
+        post_pc=np.int64(pc),
+        pre_regs=np.asarray(pre_regs_limbs, dtype=np.int64),
+        post_regs=np.asarray(_reg_limbs(regs), dtype=np.int64),
+        halted=np.int64(1 if halted else 0),
+        pre_seqs=np.asarray(pre_seqs, dtype=np.int64),
+        post_seqs=np.asarray([seqs["commit"], seqs["read"], seqs["verify"]],
+                             dtype=np.int64),
+        io=io,
+    )
+    return SegmentWitness(data=data, ctrl=ctrl, pub=pub)
+
+
+def _reg_limbs(regs):
+    out = np.zeros(64, dtype=np.int64)
+    for k in range(32):
+        v = int(regs[k]) & M32
+        out[2 * k] = v & 0xFFFF
+        out[2 * k + 1] = v >> 16
+    return out
+
+
+def _unmod(imm_field: int) -> int:
+    """Field-encoded signed immediate -> signed python int."""
+    return imm_field if imm_field < F.P // 2 else imm_field - F.P
+
+
+def to_public_values(pub: dict) -> PublicValues:
+    """Canonical int dict -> Montgomery PublicValues pytree."""
+    return PublicValues(
+        pre_pc=F.fp(pub["pre_pc"]),
+        post_pc=F.fp(pub["post_pc"]),
+        pre_regs=F.fp(pub["pre_regs"]),
+        post_regs=F.fp(pub["post_regs"]),
+        halted=F.fp(pub["halted"]),
+        pre_seqs=F.fp(pub["pre_seqs"]),
+        post_seqs=F.fp(pub["post_seqs"]),
+        io=F.fp(pub["io"]),
+    )

@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence AOT-cache spew
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

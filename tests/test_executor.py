@@ -11,8 +11,9 @@ def run(image, input_bytes=b"", po2=14):
 
 
 def test_echo():
-    res = run(guests.echo(), b"hello boundless tpu")
-    assert res.journal == b"hello boundless tpu"
+    payload = [0x68656C6C, 0x6F627470, 0x75213432]
+    res = run(guests.echo(), guests.words([len(payload)] + payload))
+    assert res.journal == guests.words(payload)
     assert res.exit_code == 0
     assert res.total_cycles > 0
     assert len(res.segments) == 1
@@ -20,8 +21,8 @@ def test_echo():
 
 def test_loop_and_segmentation():
     count = 5000
-    res = run(guests.loop_guest(), count.to_bytes(4, "little"), po2=10)
-    assert res.journal == count.to_bytes(4, "little")
+    res = run(guests.loop_guest(), guests.words([count]), po2=10)
+    assert res.journal == guests.words([count])
     # 2 cycles per iteration -> multiple segments at po2=10
     assert len(res.segments) > 1
     assert sum(s.cycles for s in res.segments) == res.total_cycles
@@ -31,14 +32,21 @@ def test_loop_and_segmentation():
 
 def test_identity_assumption():
     digest = bytes(range(32))
-    res = run(guests.identity(), digest)
+    dw = [int.from_bytes(digest[i : i + 4], "little") for i in range(0, 32, 4)]
+    res = run(guests.identity(), guests.words(dw))
     assert res.assumptions == [digest]
     assert res.journal == digest
 
 
+def test_memtest_ram():
+    payload = [111, 222, 333, 444]
+    res = run(guests.memtest(), guests.words([len(payload)] + payload))
+    assert res.journal == guests.words(payload[::-1])
+
+
 def test_muldiv():
     a, b = 0xDEADBEEF, 12345
-    res = run(guests.muldiv(), a.to_bytes(4, "little") + b.to_bytes(4, "little"))
+    res = run(guests.muldiv(), guests.words([a, b]))
     lo = int.from_bytes(res.journal[0:4], "little")
     hi = int.from_bytes(res.journal[4:8], "little")
     q = int.from_bytes(res.journal[8:12], "little")

@@ -1,0 +1,121 @@
+"""rv32im AIR: witness-satisfaction checks + full prove/verify e2e."""
+
+import numpy as np
+import pytest
+
+from boundless_tpu.core import field as F
+from boundless_tpu.air import debug
+from boundless_tpu.air.rv32im import Rv32imAir, DC
+from boundless_tpu.zkvm import guests, witness, prove
+from boundless_tpu.zkvm.executor import Executor
+
+PO2 = 8
+
+AIR = Rv32imAir()
+
+
+def run_and_witness(image, input_bytes):
+    ex = Executor(image, input_bytes, segment_po2=PO2)
+    res = ex.run()
+    assert len(res.segments) == 1
+    w = witness.trace_segment(image, res.segments[0], PO2)
+    return res, w
+
+
+def check(image, input_bytes):
+    res, w = run_and_witness(image, input_bytes)
+    pub = witness.to_public_values(w.pub)
+    ok, failures = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(w.data), pub)
+    assert ok, f"constraint failures (index, rows): {failures}"
+    return res, w
+
+
+def test_echo_witness_satisfies_air():
+    payload = [123456, 0xFFFF0001]
+    res, w = check(guests.echo(), guests.words([len(payload)] + payload))
+    assert res.journal == guests.words(payload)
+
+
+def test_loop_witness_satisfies_air():
+    check(guests.loop_guest(), guests.words([40]))
+
+
+def test_memtest_witness_satisfies_air():
+    payload = [5, 6, 7]
+    res, _ = check(guests.memtest(), guests.words([len(payload)] + payload))
+    assert res.journal == guests.words(payload[::-1])
+
+
+def test_identity_witness_satisfies_air():
+    digest = bytes(range(32))
+    dw = [int.from_bytes(digest[i:i+4], "little") for i in range(0, 32, 4)]
+    res, _ = check(guests.identity(), guests.words(dw))
+    assert res.assumptions == [digest]
+
+
+def test_alu_coverage_witness():
+    src = """
+    start:
+        li a0, -7
+        li a1, 3
+        add a2, a0, a1
+        sub a3, a0, a1
+        slt a4, a0, a1
+        sltu a5, a0, a1
+        xor a6, a0, a1
+        or a7, a0, a1
+        and s2, a0, a1
+        slli s3, a0, 4
+        srli s4, a0, 3
+        srai s5, a0, 3
+        sll s6, a0, a1
+        srl s7, a0, a1
+        sra s8, a0, a1
+        sltiu s9, a0, -1
+        blt a0, a1, ok
+        li t0, 0
+        li a0, 1
+        ecall
+    ok:
+        bge a1, a0, ok2
+        li t0, 0
+        li a0, 2
+        ecall
+    ok2:
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    img = guests.build(src)
+    res, _ = check(img, b"")
+    assert res.exit_code == 0
+
+
+def test_tampered_witness_fails_air():
+    payload = [42]
+    res, w = run_and_witness(guests.echo(),
+                             guests.words([len(payload)] + payload))
+    bad = w.data.copy()
+    bad[3, DC.rdv.start] = (bad[3, DC.rdv.start] + 1) % F.P
+    pub = witness.to_public_values(w.pub)
+    ok, failures = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+    assert not ok
+
+
+@pytest.mark.slow
+def test_prove_verify_echo_e2e():
+    payload = [77, 88]
+    ex = Executor(guests.echo(), guests.words([len(payload)] + payload),
+                  segment_po2=PO2)
+    res = ex.run()
+    receipt = prove.prove_segment(guests.echo(), res.segments[0],
+                                  ps=prove.TEST_PS)
+    assert prove.verify_segment(receipt, ps=prove.TEST_PS)
+    # tampered claim (journal word) must fail
+    bad_pub = {k: (v.copy() if hasattr(v, "copy") else v)
+               for k, v in receipt.pub.items()}
+    bad_pub["io"] = bad_pub["io"].copy()
+    bad_pub["io"][0, 2] = (bad_pub["io"][0, 2] + 1) % F.P
+    bad = prove.SegmentReceipt(proof=receipt.proof, pub=bad_pub,
+                               image_id=receipt.image_id, po2=receipt.po2)
+    assert not prove.verify_segment(bad, ps=prove.TEST_PS)

@@ -40,7 +40,7 @@ class FibAir(dsl.Air):
         not_last, _ = selectors(n)
         return F.fp(not_last[:, None])
 
-    def constraints(self, alg, now, nxt, globals_):
+    def constraints(self, alg, now, nxt, globals_, pub):
         nl = now.ctrl[0]
         a, b = now.data[0], now.data[1]
         an, bn = nxt.data[0], nxt.data[1]
@@ -80,7 +80,7 @@ class ProdAir(dsl.Air):
         acc = jax.lax.associative_scan(F.ext_mul, terms, axis=0)
         return acc  # (N, 4) -> 4 base columns
 
-    def constraints(self, alg, now, nxt, globals_):
+    def constraints(self, alg, now, nxt, globals_, pub):
         gamma = globals_[0]
         nl, fst = now.ctrl[0], now.ctrl[1]
         d_now, d_nxt = now.data[0], nxt.data[0]
