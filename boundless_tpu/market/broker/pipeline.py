@@ -1,0 +1,240 @@
+"""Broker: market-facing prover node order pipeline.
+
+Re-design of `crates/broker` (reference `src/broker.rs:127-293` wiring):
+channel-wired stages, each a thread consuming a queue:
+
+  ChainMonitor / OrderStreamMonitor  ->  OrderEvaluator (capacity gate)
+    -> OrderPricer (preflight + mcycle pricing + deadline feasibility
+       against peak_prove_khz, reference order_pricer/service.rs)
+    -> OrderCommitter -> OrderLocker (lock tx)
+    -> OrderProcessor (proving via the cluster)
+    -> Submitter (fulfill tx)
+
+plus a ReaperTask cancelling expired committed orders
+(`utils/reaper.rs`). Config mirrors broker-template.toml knobs
+(min_mcycle_price :30, peak_prove_khz :62, max_concurrent_preflights :97,
+max_concurrent_proofs :107).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import queue
+import threading
+import time
+import traceback
+from typing import Optional
+
+from ..chain import MarketChain
+from ..types import Fulfillment, ProofRequest
+from ..client import LocalStorageProvider
+
+
+@dataclasses.dataclass
+class BrokerConfig:
+    min_mcycle_price: int = 1  # reject orders priced below this per Mcycle
+    peak_prove_khz: float = 100.0  # proving capacity model
+    max_concurrent_preflights: int = 2
+    max_concurrent_proofs: int = 2
+    max_collateral: int = 1_000_000
+    lock_orders: bool = True
+
+
+class OrderStatus:
+    """Lifecycle states (reference order_types.rs:38-57)."""
+
+    NEW = "new"
+    PRICING = "pricing"
+    COMMITTED = "committed"
+    LOCKED = "locked"
+    PROVING = "proving"
+    FULFILLED = "fulfilled"
+    SKIPPED = "skipped"
+    FAILED = "failed"
+
+
+@dataclasses.dataclass
+class Order:
+    request: ProofRequest
+    status: str = OrderStatus.NEW
+    cycles: Optional[int] = None
+    price: int = 0
+    error: Optional[str] = None
+    journal: Optional[bytes] = None
+
+
+class Broker:
+    """One prover node: watches a chain + order stream, proves, fulfills.
+
+    `prover` duck-type: preflight(image, input)->cycles;
+    prove(image, input)->(journal, seal, claim_digest).
+    """
+
+    def __init__(self, chain: MarketChain, prover, address: str,
+                 config: BrokerConfig = BrokerConfig(),
+                 storage=None, order_stream=None, clock=time.time):
+        self.chain = chain
+        self.prover = prover
+        self.address = address
+        self.config = config
+        self.storage = storage
+        self.order_stream = order_stream
+        self.clock = clock
+        self.orders: dict = {}  # request_id -> Order (sqlite in reference)
+        self._evaluate_q: queue.Queue = queue.Queue()
+        self._commit_q: queue.Queue = queue.Queue()
+        self._prove_q: queue.Queue = queue.Queue()
+        self._submit_q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._threads = []
+        self._last_block = 0
+        self._preflight_sem = threading.Semaphore(
+            config.max_concurrent_preflights)
+        self._prove_sem = threading.Semaphore(config.max_concurrent_proofs)
+
+    # -- lifecycle ------------------------------------------------------
+    def start(self):
+        if self.order_stream is not None:
+            self.order_stream.subscribe(
+                lambda req, sig: self._ingest(req))
+        for target in (self._chain_monitor, self._evaluator, self._committer,
+                       self._processor, self._submitter, self._reaper):
+            t = threading.Thread(target=self._supervise, args=(target,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self):
+        self._stop.set()
+
+    def _supervise(self, fn):
+        """Restart-on-crash supervisor (reference ServiceRunner)."""
+        while not self._stop.is_set():
+            try:
+                fn()
+                return
+            except Exception:  # noqa: BLE001
+                traceback.print_exc()
+                time.sleep(0.1)
+
+    # -- stages ---------------------------------------------------------
+    def _ingest(self, request: ProofRequest):
+        rid = request.id.encoded()
+        if rid not in self.orders:
+            self.orders[rid] = Order(request=request)
+            self._evaluate_q.put(rid)
+
+    def _chain_monitor(self):
+        while not self._stop.is_set():
+            for ev in self.chain.events_since(self._last_block):
+                self._last_block = max(self._last_block, ev.block)
+                if ev.kind == "RequestSubmitted":
+                    req = self.chain.requests.get(ev.data["request_id"])
+                    if req is not None:
+                        self._ingest(req)
+            time.sleep(0.05)
+
+    def _evaluator(self):
+        """Global capacity gate + pricing (evaluator + pricer stages)."""
+        while not self._stop.is_set():
+            try:
+                rid = self._evaluate_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            order = self.orders[rid]
+            order.status = OrderStatus.PRICING
+            try:
+                with self._preflight_sem:
+                    image, input_data = self._fetch_assets(order.request)
+                    cycles = self.prover.preflight(image, input_data)
+                order.cycles = cycles
+                mcycles = max(1, cycles // 1_000_000)
+                price = self.chain.price_request(rid)
+                if price < mcycles * self.config.min_mcycle_price:
+                    order.status = OrderStatus.SKIPPED
+                    order.error = "price below min_mcycle_price"
+                    continue
+                # deadline feasibility (reference service.rs:2300-2376 model)
+                secs_left = order.request.offer.expires_at() - self.clock()
+                provable = self.config.peak_prove_khz * 1000.0 * secs_left
+                if cycles > provable:
+                    order.status = OrderStatus.SKIPPED
+                    order.error = "deadline infeasible for peak_prove_khz"
+                    continue
+                order.price = price
+                order.status = OrderStatus.COMMITTED
+                self._commit_q.put(rid)
+            except Exception as e:  # noqa: BLE001
+                order.status = OrderStatus.FAILED
+                order.error = f"pricing: {e}"
+
+    def _committer(self):
+        """Commit + lock (committer + locker stages)."""
+        while not self._stop.is_set():
+            try:
+                rid = self._commit_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            order = self.orders[rid]
+            try:
+                if self.config.lock_orders:
+                    self.chain.lock_request(rid, self.address)
+                    order.status = OrderStatus.LOCKED
+                self._prove_q.put(rid)
+            except Exception as e:  # noqa: BLE001
+                order.status = OrderStatus.SKIPPED
+                order.error = f"lock: {e}"
+
+    def _processor(self):
+        while not self._stop.is_set():
+            try:
+                rid = self._prove_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            order = self.orders[rid]
+            order.status = OrderStatus.PROVING
+            try:
+                with self._prove_sem:
+                    image, input_data = self._fetch_assets(order.request)
+                    journal, seal, claim = self.prover.prove(image, input_data)
+                order.journal = journal
+                self._submit_q.put((rid, journal, seal, claim))
+            except Exception as e:  # noqa: BLE001
+                order.status = OrderStatus.FAILED
+                order.error = f"prove: {e}"
+
+    def _submitter(self):
+        while not self._stop.is_set():
+            try:
+                rid, journal, seal, claim = self._submit_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            order = self.orders[rid]
+            try:
+                self.chain.fulfill([Fulfillment(
+                    request_id=order.request.id, journal=journal,
+                    claim_digest=claim, seal=seal, prover=self.address)])
+                order.status = OrderStatus.FULFILLED
+            except Exception as e:  # noqa: BLE001
+                order.status = OrderStatus.FAILED
+                order.error = f"submit: {e}"
+
+    def _reaper(self):
+        """Cancel expired committed orders (reference utils/reaper.rs)."""
+        while not self._stop.is_set():
+            now = self.clock()
+            for order in list(self.orders.values()):
+                if order.status in (OrderStatus.COMMITTED, OrderStatus.LOCKED,
+                                    OrderStatus.PROVING):
+                    if now > order.request.offer.expires_at():
+                        order.status = OrderStatus.FAILED
+                        order.error = "expired before fulfillment"
+            time.sleep(0.2)
+
+    # -- helpers --------------------------------------------------------
+    def _fetch_assets(self, request: ProofRequest):
+        import pickle
+
+        data = self.storage.download(request.image_url)
+        return pickle.loads(data), request.input_data

@@ -1,0 +1,45 @@
+"""Off-chain order stream: pub/sub order feed with signature auth.
+
+Re-design of `crates/order-stream` (REST + WebSocket broadcast,
+`src/lib.rs:523-539`; signature-authenticated connections): an in-process
+broker-facing feed with subscriber callbacks; the HTTP layer can wrap it
+the same way cluster/api.py wraps ClusterApi.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, List
+
+from .types import ProofRequest, verify_signature
+
+
+class OrderStream:
+    def __init__(self, account_keys: dict):
+        self._subs: List[Callable] = []
+        self._orders: list = []
+        self._lock = threading.Lock()
+        self._keys = account_keys  # address -> secret (auth database)
+        self.heartbeats: dict = {}  # address -> last heartbeat ts
+
+    def submit(self, request: ProofRequest, signature: bytes):
+        secret = self._keys.get(request.id.client)
+        if secret is None or not verify_signature(request, secret, signature):
+            raise PermissionError("bad order signature")
+        with self._lock:
+            self._orders.append((request, signature))
+            subs = list(self._subs)
+        for cb in subs:
+            cb(request, signature)
+
+    def subscribe(self, callback: Callable):
+        with self._lock:
+            self._subs.append(callback)
+
+    def orders_since(self, index: int):
+        with self._lock:
+            return self._orders[index:]
+
+    def heartbeat(self, address: str):
+        self.heartbeats[address] = time.time()

@@ -1,0 +1,166 @@
+"""Market layer tests: chain semantics, SDK request building, broker
+pipeline e2e with a mock prover (reference broker/src/tests/e2e.rs shape)."""
+
+import hashlib
+import time
+
+import pytest
+
+from boundless_tpu.cluster.storage import SharedFs
+from boundless_tpu.market import chain as chain_mod
+from boundless_tpu.market.chain import MarketChain, MarketError
+from boundless_tpu.market.client import Client, LocalStorageProvider
+from boundless_tpu.market.order_stream import OrderStream
+from boundless_tpu.market.broker.pipeline import (Broker, BrokerConfig,
+                                                  OrderStatus)
+from boundless_tpu.market.types import (Offer, Predicate, ProofRequest,
+                                        RequestId, Requirements, sign_request)
+from boundless_tpu.zkvm import guests
+from boundless_tpu.zkvm.executor import Executor
+
+
+class MockProver:
+    """Executor-backed mock prover (dev-mode style fake seals)."""
+
+    def preflight(self, image, input_data):
+        return Executor(image, input_data).run().total_cycles
+
+    def prove(self, image, input_data):
+        res = Executor(image, input_data).run()
+        claim = hashlib.sha256(b"claim:" + res.journal).digest()
+        seal = {"dev_mode": True, "journal": res.journal,
+                "image_id": res.image_id.hex()}
+        return res.journal, seal, claim
+
+
+def mock_verifier(fill, request):
+    return (isinstance(fill.seal, dict) and fill.seal.get("dev_mode")
+            and fill.seal["journal"] == fill.journal
+            and fill.seal["image_id"] == request.requirements.image_id)
+
+
+@pytest.fixture
+def world():
+    clock = time.time
+    chain = MarketChain(mock_verifier, clock=clock)
+    chain.create_account("alice", b"alice-secret", funds=10_000_000)
+    chain.create_account("prover1", b"prover1-secret", funds=1_000_000)
+    chain.deposit_collateral("prover1", 500_000)
+    store = SharedFs()
+    provider = LocalStorageProvider(store)
+    client = Client(chain, "alice", b"alice-secret",
+                    storage_provider=provider)
+    return chain, client, provider
+
+
+def test_request_build_and_submit(world):
+    chain, client, provider = world
+    payload = [1, 2, 3]
+    req = client.build_request(guests.echo(),
+                               guests.words([len(payload)] + payload))
+    assert req.requirements.image_id == guests.echo().image_id().hex()
+    assert req.offer.max_price >= req.offer.min_price
+    rid = client.submit_onchain(req)
+    assert chain.request_status(rid) == "open"
+    # duplicate id rejected
+    with pytest.raises(MarketError):
+        chain.submit_request(req, sign_request(req, b"alice-secret"))
+    # bad signature rejected
+    req2 = client.build_request(guests.echo(), guests.words([0]))
+    with pytest.raises(MarketError):
+        chain.submit_request(req2, b"\0" * 32)
+
+
+def test_offer_auction_pricing():
+    offer = Offer(min_price=100, max_price=500, bidding_start=1000.0,
+                  ramp_up_period=10.0, lock_timeout=50.0, timeout=100.0,
+                  lock_collateral=5)
+    assert offer.price_at(999.0) == 100
+    assert offer.price_at(1000.0) == 100
+    assert offer.price_at(1005.0) == 300
+    assert offer.price_at(1010.0) == 500
+    assert offer.price_at(2000.0) == 500
+
+
+def test_broker_e2e_fulfills_order(world):
+    chain, client, provider = world
+    broker = Broker(chain, MockProver(), "prover1",
+                    BrokerConfig(min_mcycle_price=0), storage=provider)
+    broker.start()
+    try:
+        payload = [7, 8, 9]
+        req = client.build_request(guests.echo(),
+                                   guests.words([len(payload)] + payload))
+        rid = client.submit_onchain(req)
+        journal, seal = client.wait_for_fulfillment(rid, timeout=20.0)
+        assert journal == guests.words(payload)
+        order = broker.orders[rid]
+        assert order.status == OrderStatus.FULFILLED
+        # prover got paid, collateral returned
+        assert chain.balances["prover1"] > 1_000_000 - 500_000
+        assert chain.request_status(rid) == "fulfilled"
+    finally:
+        broker.stop()
+
+
+def test_broker_skips_underpriced(world):
+    chain, client, provider = world
+    broker = Broker(chain, MockProver(), "prover1",
+                    BrokerConfig(min_mcycle_price=10**12), storage=provider)
+    broker.start()
+    try:
+        req = client.build_request(guests.echo(), guests.words([0]))
+        rid = client.submit_onchain(req)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            order = broker.orders.get(rid)
+            if order and order.status in (OrderStatus.SKIPPED,
+                                          OrderStatus.FAILED):
+                break
+            time.sleep(0.05)
+        assert broker.orders[rid].status == OrderStatus.SKIPPED
+        assert "min_mcycle_price" in broker.orders[rid].error
+    finally:
+        broker.stop()
+
+
+def test_slash_expired_lock():
+    t = [1000.0]
+    chain = MarketChain(mock_verifier, clock=lambda: t[0])
+    chain.create_account("alice", b"sk", funds=1000)
+    chain.create_account("prover1", b"pk", funds=1000)
+    chain.deposit_collateral("prover1", 100)
+    offer = Offer(min_price=10, max_price=20, bidding_start=1000.0,
+                  ramp_up_period=1.0, lock_timeout=5.0, timeout=10.0,
+                  lock_collateral=50)
+    req = ProofRequest(
+        id=RequestId("alice", 1),
+        requirements=Requirements(image_id="ab", predicate=Predicate.prefix_match(b"")),
+        image_url="local://elfs/x", input_data=b"", offer=offer)
+    chain.submit_request(req, sign_request(req, b"sk"))
+    chain.lock_request(req.id.encoded(), "prover1")
+    assert chain.collateral["prover1"] == 50
+    # not yet expired
+    with pytest.raises(MarketError):
+        chain.slash(req.id.encoded(), "watcher")
+    t[0] = 1011.0
+    chain.slash(req.id.encoded(), "watcher")
+    assert chain.request_status(req.id.encoded()) == "slashed"
+    assert chain.balances.get("watcher", 0) == 25
+    # double slash rejected
+    with pytest.raises(MarketError):
+        chain.slash(req.id.encoded(), "watcher")
+
+
+def test_order_stream_offchain(world):
+    chain, client, provider = world
+    stream = OrderStream(chain.account_keys)
+    client.order_stream = stream
+    got = []
+    stream.subscribe(lambda req, sig: got.append(req))
+    req = client.build_request(guests.echo(), guests.words([0]))
+    client.submit_offchain(req)
+    assert got and got[0].id.encoded() == req.id.encoded()
+    # unauthenticated submit rejected
+    with pytest.raises(PermissionError):
+        stream.submit(req, b"bad")
