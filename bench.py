@@ -1,0 +1,74 @@
+"""Benchmark: proved mcycles/sec for rv32im segment STARKs on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric follows the reference's canonical effective-speed definition
+(`crates/boundless-cli/src/commands/prover/benchmark.rs:212-214`):
+effective = total_cycles / elapsed_secs. The reference publishes no
+absolute numbers (BASELINE.md); vs_baseline is reported against the
+reference's template capacity setting peak_prove_khz = 100
+(broker-template.toml:62), i.e. vs_baseline = effective_khz / 100.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/bt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+from boundless_tpu.core import field as F  # noqa: E402
+from boundless_tpu.prover import stark  # noqa: E402
+from boundless_tpu.zkvm import guests, witness, prove  # noqa: E402
+from boundless_tpu.zkvm.executor import Executor  # noqa: E402
+
+PO2 = int(os.environ.get("BENCH_PO2", "14"))
+PS = stark.ProofSystem(queries=50, fri_min_degree=256)
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def main():
+    # Workload: loop guest filling one segment (reference config 2 shape).
+    image = guests.loop_guest()
+    iters = ((1 << PO2) - 40) // 2
+    ex = Executor(image, guests.words([iters]), segment_po2=PO2)
+    res = ex.run()
+    seg = res.segments[0]
+
+    w = witness.trace_segment(image, seg, PO2)
+    data = F.fp(w.data)
+    ctrl, _ = prove._image_ctrl(image, PO2)
+    pub = witness.to_public_values(w.pub)
+    prover = stark.make_prover(prove._AIR, PO2, PS)
+
+    # compile + warmup
+    proof = prover(data, pub, ctrl)
+    jax.block_until_ready(proof)
+
+    t0 = time.time()
+    for _ in range(REPS):
+        proof = prover(data, pub, ctrl)
+        jax.block_until_ready(proof)
+    elapsed = (time.time() - t0) / REPS
+
+    cycles = seg.cycles
+    effective_khz = cycles / elapsed / 1000.0
+    mcycles_per_sec = cycles / elapsed / 1e6
+    print(json.dumps({
+        "metric": "proved_mcycles_per_sec",
+        "value": round(mcycles_per_sec, 4),
+        "unit": "mcycles/s",
+        "vs_baseline": round(effective_khz / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,9 @@ from ..prover.stark import ExtVal, VecVal
 from . import dsl
 
 
+_EVAL_CACHE: dict = {}
+
+
 def check_constraints(air, ctrl, data, pub, globals_seed: int = 7):
     """Returns (ok, failures): failures = list of (constraint_index, count).
 
@@ -26,19 +29,18 @@ def check_constraints(air, ctrl, data, pub, globals_seed: int = 7):
     globals_ = F.ext(rng.integers(1, F.P, size=(max(air.globals_count, 1), 4),
                                   dtype=np.int64))[: air.globals_count]
 
+    key = (id(air), type(air).__name__)
+    if key in _EVAL_CACHE:
+        counts = [int(x) for x in _EVAL_CACHE[key](ctrl, data, globals_, pub)]
+        failures = [(i, n) for i, n in enumerate(counts) if n]
+        return (not failures), failures
+
     @jax.jit
     def _eval(ctrl, data, globals_, pub):
         accum = air.accum_trace(ctrl, data, globals_) \
             if air.accum_cols else jnp.zeros((data.shape[0], 0), jnp.uint32)
 
-        def acc_of(mat):
-            class _A:
-                def __init__(self, m):
-                    self._m = m
-
-                def __getitem__(self, i):
-                    return self._m[:, i]
-            return _A(mat)
+        from ..prover.stark import _ColAccessor as acc_of
 
         now = dsl.Columns(acc_of(ctrl), acc_of(data), acc_of(accum))
         nxt = dsl.Columns(acc_of(jnp.roll(ctrl, -1, axis=0)),
@@ -52,6 +54,7 @@ def check_constraints(air, ctrl, data, pub, globals_seed: int = 7):
             out.append(jnp.count_nonzero(F.from_mont(c)))
         return out
 
+    _EVAL_CACHE[key] = _eval
     counts = [int(x) for x in _eval(ctrl, data, globals_, pub)]
     failures = [(i, n) for i, n in enumerate(counts) if n]
     return (not failures), failures

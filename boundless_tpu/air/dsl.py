@@ -74,6 +74,61 @@ class BaseAlg:
         """Lift a public scalar (base u32) into this algebra's value type."""
         return x
 
+    # --- grouped (stacked-column) operations: groups are (M, G) ---
+    # Graph-size discipline: a group op contributes O(1) traced ops no
+    # matter how many columns it covers (compile latency ∝ graph size).
+
+    gmul = staticmethod(F.mul)
+    gadd = staticmethod(F.add)
+    gsub = staticmethod(F.sub)
+
+    def B(self, s):
+        """Scalar value -> broadcastable against a group."""
+        s = jnp.asarray(s)
+        return s[..., None] if s.ndim else s
+
+    def gconst(self, vec):
+        """Canonical int vector -> group constant (G,)."""
+        import numpy as np
+
+        return jnp.asarray(
+            (np.asarray(vec, dtype=np.int64) % F.P) * (1 << 32) % F.P
+        ).astype(jnp.uint32)
+
+    def gsum(self, x):
+        return F.sum_mod(x, axis=-1)
+
+    def gweighted(self, x, w_vec):
+        """Σ_g w_g * x_g with canonical int weights."""
+        return self.gsum(F.mul(x, self.gconst(w_vec)))
+
+    def gweighted_ext(self, x, w_ext):
+        """Σ_g w_ext[g] ⊗ x_g -> ext (M, 4). w_ext: (G, 4)."""
+        from ..prover.stark import _weighted_col_sum
+
+        return _weighted_col_sum(x, w_ext)
+
+    def gshift_sll(self, x, s):
+        g = x.shape[-1]
+        return jnp.pad(x[:, : g - s], ((0, 0), (s, 0))) if s else x
+
+    def gshift_srl(self, x, s):
+        g = x.shape[-1]
+        return jnp.pad(x[:, s:], ((0, 0), (0, s))) if s else x
+
+    def gshift_sra(self, x, s):
+        if not s:
+            return x
+        fill = jnp.broadcast_to(x[:, -1:], (x.shape[0], s))
+        return jnp.concatenate([x[:, s:], fill], axis=-1)
+
+    def gconcat(self, groups):
+        return jnp.concatenate(groups, axis=-1)
+
+    def gpub(self, vec):
+        """Public base-field vector (G,) -> group-compatible value."""
+        return vec
+
 
 class ExtAlg:
     """Algebra at the DEEP point: every value is an ext (4,) array."""
@@ -125,6 +180,58 @@ class ExtAlg:
     def pubval(self, x):
         """Public scalars become ext constants at the DEEP point."""
         return F.ext_from_base(x)
+
+    # --- grouped operations: groups are (G, 4) ext stacks ---
+
+    gmul = staticmethod(F.ext_mul)
+    gadd = staticmethod(F.ext_add)
+    gsub = staticmethod(F.ext_sub)
+
+    def B(self, s):
+        return jnp.asarray(s)[None, :]  # (1, 4)
+
+    def gconst(self, vec):
+        import numpy as np
+
+        base = jnp.asarray(
+            (np.asarray(vec, dtype=np.int64) % F.P) * (1 << 32) % F.P
+        ).astype(jnp.uint32)
+        return F.ext_from_base(base)  # (G, 4)
+
+    def gsum(self, x):
+        return F.sum_mod(x, axis=0)
+
+    def gweighted(self, x, w_vec):
+        import numpy as np
+
+        w = jnp.asarray(
+            (np.asarray(w_vec, dtype=np.int64) % F.P) * (1 << 32) % F.P
+        ).astype(jnp.uint32)
+        return self.gsum(F.mul(x, w[:, None]))
+
+    def gweighted_ext(self, x, w_ext):
+        return F.sum_mod(F.ext_mul(x, w_ext), axis=0)
+
+    def gshift_sll(self, x, s):
+        g = x.shape[0]
+        return jnp.pad(x[: g - s], ((s, 0), (0, 0))) if s else x
+
+    def gshift_srl(self, x, s):
+        g = x.shape[0]
+        return jnp.pad(x[s:], ((0, s), (0, 0))) if s else x
+
+    def gshift_sra(self, x, s):
+        if not s:
+            return x
+        fill = jnp.broadcast_to(x[-1:], (s, 4))
+        return jnp.concatenate([x[s:], fill], axis=0)
+
+    def gconcat(self, groups):
+        return jnp.concatenate(groups, axis=0)
+
+    def gpub(self, vec):
+        """Public base-field vector (G,) -> (G, 4) ext group."""
+        return F.ext_from_base(vec)
 
 
 def _common_shape(items):

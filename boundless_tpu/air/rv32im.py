@@ -183,98 +183,85 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 
-def _pack(gamma, dpows, tag: int, components, alg):
-    """gamma - (tag + sum_j delta^{j+1} * x_j), ext-valued."""
+def _pack(alg, gamma, dpows, tag: int, comps_group):
+    """gamma - (tag + Σ_j delta^{j+1} * x_j); comps_group is a group."""
+    g = comps_group.shape[-1] if not alg.is_ext else comps_group.shape[0]
     base = F.ext_sub(gamma, F.ext(np.array([tag, 0, 0, 0], dtype=np.int64)))
-    acc = None
-    for j, x in enumerate(components):
-        term = alg.escale(dpows[j + 1], x)
-        acc = term if acc is None else alg.eadd(acc, term)
-    if acc is None:
-        return base
+    acc = alg.gweighted_ext(comps_group, dpows[1 : g + 1])
     return F.ext_sub(jnp.broadcast_to(base, jnp.shape(acc)), acc)
 
 
 def _ports(alg, row, gamma, dpows):
     """(packs, sels) for every LogUp port, from a row accessor.
 
-    `row` provides .data(i)/.ctrl(i) returning algebra values. Works both
-    pointwise over the LDE domain (BaseAlg), on the raw trace
-    (accum_trace), and at the DEEP point (ExtAlg).
+    `row` provides .data(i)/.ctrl(i)/.datab(idx)/.ctrlb(idx) (scalar and
+    block access). Works pointwise over the LDE domain (BaseAlg), on the
+    raw trace (accum_trace), and at the DEEP point (ExtAlg).
     """
     m, add, sub = alg.mul, alg.add, alg.sub
     one = alg.one()
     d = row
 
-    def dsum(vals):
-        acc = None
-        for v in vals:
-            acc = v if acc is None else add(acc, v)
-        return acc if acc is not None else alg.zero()
-
-    sel = [d.data(DC.sel.start + i) for i in range(10)]
-    (is_lui, is_auipc, is_jal, is_jalr, is_br, is_load, is_store,
-     is_alui, is_alur, is_ecall) = sel
-    f3 = [d.data(DC.f3.start + i) for i in range(8)]
-    k = [d.data(DC.k.start + i) for i in range(5)]
+    sel_blk = d.datab(DC.sel)
+    is_load = d.data(DC.sel.start + 5)
+    is_store = d.data(DC.sel.start + 6)
     active = d.data(DC.active)
     pc = d.data(DC.pc)
     clk = d.ctrl(CC.clk)
     rdv = [d.data(DC.rdv.start + i) for i in range(2)]
     rs2v = [d.data(DC.rs2v.start + i) for i in range(2)]
-    r_bits = [d.data(DC.r_bits.start + i) for i in range(32)]
+    r_blk = d.datab(DC.r_bits)
+
+    def idx_of(oh_slice):
+        return alg.gweighted(d.datab(oh_slice), np.arange(32))
+
+    addr_word = alg.gweighted(
+        r_blk, np.array([1 << (i - 2) if 2 <= i < 26 else 0
+                         for i in range(32)], dtype=np.int64))
+
+    # exec fetch pack: [pc, sel10, f3sel8, alt, imm_lo, imm_hi, imm_field,
+    #                   rd, rs1, rs2]
+    fetch_comps = alg.gconcat([
+        alg.stack([pc]), sel_blk, d.datab(DC.f3),
+        alg.stack([d.data(DC.alt), d.data(DC.imm_lo), d.data(DC.imm_hi),
+                   d.data(DC.imm_field), idx_of(DC.rd_oh),
+                   idx_of(DC.rs1_oh), idx_of(DC.rs2_oh)])])
+    tbl_comps = alg.gconcat([
+        alg.stack([d.ctrl(CC.t_pc)]), d.ctrlb(CC.t_sel), d.ctrlb(CC.t_f3),
+        alg.stack([d.ctrl(CC.t_alt), d.ctrl(CC.t_imm_lo),
+                   d.ctrl(CC.t_imm_hi), d.ctrl(CC.t_imm_field),
+                   d.ctrl(CC.t_rd), d.ctrl(CC.t_rs1), d.ctrl(CC.t_rs2)])])
 
     def reg(kk, limb):
         return d.data(DC.regs.start + 2 * kk + limb)
 
-    def idx_of(oh_slice):
-        return dsum([m(d.data(oh_slice.start + kk), alg.const(kk))
-                     for kk in range(1, 32)])
-
-    addr_word = dsum([m(r_bits[i], alg.const(1 << (i - 2)))
-                      for i in range(2, 26)])
-
-    # exec fetch pack: [pc, sel10, f3sel8, alt, imm_lo, imm_hi, imm_field,
-    #                   rd, rs1, rs2]
-    fetch_comps = ([pc] + sel + f3
-                   + [d.data(DC.alt), d.data(DC.imm_lo), d.data(DC.imm_hi),
-                      d.data(DC.imm_field), idx_of(DC.rd_oh),
-                      idx_of(DC.rs1_oh), idx_of(DC.rs2_oh)])
-    tbl_comps = ([d.ctrl(CC.t_pc)]
-                 + [d.ctrl(CC.t_sel.start + i) for i in range(10)]
-                 + [d.ctrl(CC.t_f3.start + i) for i in range(8)]
-                 + [d.ctrl(CC.t_alt), d.ctrl(CC.t_imm_lo),
-                    d.ctrl(CC.t_imm_hi), d.ctrl(CC.t_imm_field),
-                    d.ctrl(CC.t_rd), d.ctrl(CC.t_rs1), d.ctrl(CC.t_rs2)])
-
     mval = [add(m(is_load, rdv[i]), m(is_store, rs2v[i])) for i in range(2)]
-    mem_comps = [addr_word, clk, mval[0], mval[1], is_store]
-    srt_comps = [d.data(DC.s_addr), d.data(DC.s_clk),
-                 d.data(DC.s_val.start), d.data(DC.s_val.start + 1),
-                 d.data(DC.s_is_write)]
-
-    init_comps = [d.data(DC.s_addr), d.data(DC.s_val.start),
-                  d.data(DC.s_val.start + 1)]
+    mem_comps = alg.stack([addr_word, clk, mval[0], mval[1], is_store])
+    srt_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_clk),
+                           d.data(DC.s_val.start), d.data(DC.s_val.start + 1),
+                           d.data(DC.s_is_write)])
+    init_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_val.start),
+                            d.data(DC.s_val.start + 1)])
     inv4 = pow(4, F.P - 2, F.P)
-    tbl_word_addr = m(d.ctrl(CC.t_pc), alg.const(inv4))
-    init_tbl_comps = [tbl_word_addr, d.ctrl(CC.t_word.start),
-                      d.ctrl(CC.t_word.start + 1)]
-
-    commit_comps = [d.data(DC.commit_seq), reg(10, 0), reg(10, 1)]
-    read_comps = [d.data(DC.read_seq), rdv[0], rdv[1]]
-    verify_comps = [d.data(DC.verify_seq), reg(10, 0), reg(10, 1)]
+    init_tbl_comps = alg.stack([m(d.ctrl(CC.t_pc), alg.const(inv4)),
+                                d.ctrl(CC.t_word.start),
+                                d.ctrl(CC.t_word.start + 1)])
+    commit_comps = alg.stack([d.data(DC.commit_seq), reg(10, 0), reg(10, 1)])
+    read_comps = alg.stack([d.data(DC.read_seq), rdv[0], rdv[1]])
+    verify_comps = alg.stack([d.data(DC.verify_seq), reg(10, 0), reg(10, 1)])
 
     packs = {
-        "fetch": _pack(gamma, dpows, TAG["fetch"], fetch_comps, alg),
-        "fetch_tbl": _pack(gamma, dpows, TAG["fetch"], tbl_comps, alg),
-        "mem": _pack(gamma, dpows, TAG["mem"], mem_comps, alg),
-        "mem_sorted": _pack(gamma, dpows, TAG["mem"], srt_comps, alg),
-        "init": _pack(gamma, dpows, TAG["init"], init_comps, alg),
-        "init_tbl": _pack(gamma, dpows, TAG["init"], init_tbl_comps, alg),
-        "commit": _pack(gamma, dpows, TAG["commit"], commit_comps, alg),
-        "read": _pack(gamma, dpows, TAG["read"], read_comps, alg),
-        "verify": _pack(gamma, dpows, TAG["verify"], verify_comps, alg),
+        "fetch": _pack(alg, gamma, dpows, TAG["fetch"], fetch_comps),
+        "fetch_tbl": _pack(alg, gamma, dpows, TAG["fetch"], tbl_comps),
+        "mem": _pack(alg, gamma, dpows, TAG["mem"], mem_comps),
+        "mem_sorted": _pack(alg, gamma, dpows, TAG["mem"], srt_comps),
+        "init": _pack(alg, gamma, dpows, TAG["init"], init_comps),
+        "init_tbl": _pack(alg, gamma, dpows, TAG["init"], init_tbl_comps),
+        "commit": _pack(alg, gamma, dpows, TAG["commit"], commit_comps),
+        "read": _pack(alg, gamma, dpows, TAG["read"], read_comps),
+        "verify": _pack(alg, gamma, dpows, TAG["verify"], verify_comps),
     }
+    k_blk = d.datab(DC.k)
     sels = {
         "fetch": active,
         "fetch_tbl": d.data(DC.mult_fetch),
@@ -283,9 +270,9 @@ def _ports(alg, row, gamma, dpows):
         "init": m(d.data(DC.s_active),
                   m(d.data(DC.s_new), sub(one, d.data(DC.s_is_write)))),
         "init_tbl": d.data(DC.mult_init),
-        "commit": k[1],
-        "read": k[2],
-        "verify": k[4],
+        "commit": d.data(DC.k.start + 1),
+        "read": d.data(DC.k.start + 2),
+        "verify": d.data(DC.k.start + 4),
     }
     return packs, sels
 
@@ -320,8 +307,11 @@ class _Rows:
     def ctrl(self, i):
         return self._cols.ctrl[i]
 
-    def accum(self, i):
-        return self._cols.accum[i]
+    def datab(self, idx):
+        return self._cols.data.block(idx)
+
+    def ctrlb(self, idx):
+        return self._cols.ctrl.block(idx)
 
 
 class _TraceRows:
@@ -336,6 +326,16 @@ class _TraceRows:
 
     def ctrl(self, i):
         return self._ctrl[:, i]
+
+    def datab(self, idx):
+        if isinstance(idx, slice):
+            return self._data[:, idx]
+        return self._data[:, jnp.asarray(idx)]
+
+    def ctrlb(self, idx):
+        if isinstance(idx, slice):
+            return self._ctrl[:, idx]
+        return self._ctrl[:, jnp.asarray(idx)]
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +370,8 @@ class Rv32imAir(dsl.Air):
         out = out.at[:, AC.running : AC.running + 4].set(running)
         return out
 
+    # All heavy constraint families below are *grouped*: one traced op per
+    # family, however many columns it spans (compile latency ∝ graph size).
     def constraints(self, alg, now, nxt, globals_, pub: PublicValues):
         gamma, delta = globals_[0], globals_[1]
         dpows = NTT.ext_powers(delta, NUM_DPOWS)
@@ -377,6 +379,8 @@ class Rv32imAir(dsl.Air):
         nx = _Rows(nxt)
         c = []
         m, add, sub = alg.mul, alg.add, alg.sub
+        gm, ga, gs = alg.gmul, alg.gadd, alg.gsub
+        B = alg.B
         one = alg.one()
 
         def dsum(vals):
@@ -399,7 +403,15 @@ class Rv32imAir(dsl.Air):
         not_last = d.ctrl(CC.not_last)
         is_last = sub(one, not_last)
 
-        # ---- boolean constraints ----
+        a_blk = d.datab(DC.a_bits)
+        b_blk = d.datab(DC.b_bits)
+        r_blk = d.datab(DC.r_bits)
+        sh_blk = d.datab(DC.sh_oh)
+        rd_blk = d.datab(DC.rd_oh)
+        rs1_blk = d.datab(DC.rs1_oh)
+        rs2_blk = d.datab(DC.rs2_oh)
+
+        # ---- boolean constraints (single grouped VecVal) ----
         bool_cols = (list(range(DC.sel.start, DC.sel.stop))
                      + list(range(DC.f3.start, DC.f3.stop))
                      + [DC.alt]
@@ -415,37 +427,34 @@ class Rv32imAir(dsl.Air):
                      + [DC.active, DC.halted, DC.s_active, DC.s_is_write,
                         DC.s_new]
                      + list(range(DC.s_dbits.start, DC.s_dbits.stop)))
-        c.append(VecVal(alg.stack(
-            [m(d.data(i), sub(d.data(i), one)) for i in bool_cols])))
+        bools = d.datab(bool_cols)
+        ones_g = alg.gconst(np.ones(len(bool_cols), dtype=np.int64))
+        c.append(VecVal(gm(bools, gs(bools, ones_g))))
 
         # ---- one-hot sums / class structure ----
-        rd_oh = [d.data(DC.rd_oh.start + i) for i in range(32)]
-        rs1_oh = [d.data(DC.rs1_oh.start + i) for i in range(32)]
-        rs2_oh = [d.data(DC.rs2_oh.start + i) for i in range(32)]
-        sh_oh = [d.data(DC.sh_oh.start + i) for i in range(32)]
-        c.append(sub(dsum(rd_oh), one))
-        c.append(sub(dsum(rs1_oh), one))
-        c.append(sub(dsum(rs2_oh), one))
-        c.append(sub(dsum(sh_oh), one))
-        c.append(sub(dsum(sel), active))
-        c.append(sub(dsum(k), is_ecall))
+        c.append(sub(alg.gsum(rd_blk), one))
+        c.append(sub(alg.gsum(rs1_blk), one))
+        c.append(sub(alg.gsum(rs2_blk), one))
+        c.append(sub(alg.gsum(sh_blk), one))
+        c.append(sub(alg.gsum(d.datab(DC.sel)), active))
+        c.append(sub(alg.gsum(d.datab(DC.k)), is_ecall))
         c.append(is_auipc)  # v1: not in-circuit
 
         # ---- register reads; reg0 pinned ----
         def reg(kk, limb, rows=d):
             return rows.data(DC.regs.start + 2 * kk + limb)
 
+        reg_lo_idx = [DC.regs.start + 2 * kk for kk in range(32)]
+        reg_hi_idx = [DC.regs.start + 2 * kk + 1 for kk in range(32)]
+        regs_lo = d.datab(reg_lo_idx)
+        regs_hi = d.datab(reg_hi_idx)
         rs1v = [d.data(DC.rs1v.start + i) for i in range(2)]
         rs2v = [d.data(DC.rs2v.start + i) for i in range(2)]
         op2 = [d.data(DC.op2.start + i) for i in range(2)]
         rdv = [d.data(DC.rdv.start + i) for i in range(2)]
-        for limb in range(2):
-            c.append(sub(rs1v[limb],
-                         dsum([m(rs1_oh[kk], reg(kk, limb))
-                               for kk in range(32)])))
-            c.append(sub(rs2v[limb],
-                         dsum([m(rs2_oh[kk], reg(kk, limb))
-                               for kk in range(32)])))
+        for limb, regs_l in ((0, regs_lo), (1, regs_hi)):
+            c.append(sub(rs1v[limb], alg.gsum(gm(rs1_blk, regs_l))))
+            c.append(sub(rs2v[limb], alg.gsum(gm(rs2_blk, regs_l))))
         c.append(reg(0, 0))
         c.append(reg(0, 1))
 
@@ -457,22 +466,20 @@ class Rv32imAir(dsl.Air):
             c.append(sub(op2[limb], add(m(use_imm, imm),
                                         m(sub(one, use_imm), rs2v[limb]))))
 
-        # ---- bit bindings ----
-        a_bits = [d.data(DC.a_bits.start + i) for i in range(32)]
-        b_bits = [d.data(DC.b_bits.start + i) for i in range(32)]
-        r_bits = [d.data(DC.r_bits.start + i) for i in range(32)]
-
-        def limbsum(bits, lohalf):
-            rng = range(0, 16) if lohalf else range(16, 32)
-            return dsum([m(bits[i], alg.const(1 << (i % 16))) for i in rng])
-
+        # ---- bit bindings (grouped weighted sums) ----
+        W_LO = np.array([1 << i if i < 16 else 0 for i in range(32)],
+                        dtype=np.int64)
+        W_HI = np.array([1 << (i - 16) if i >= 16 else 0 for i in range(32)],
+                        dtype=np.int64)
+        W_HI26 = np.array([1 << (i - 16) if 16 <= i < 26 else 0
+                           for i in range(32)], dtype=np.int64)
         bind_ab = dsum([is_alui, is_alur, is_br])
-        c.append(m(bind_ab, sub(rs1v[0], limbsum(a_bits, True))))
-        c.append(m(bind_ab, sub(rs1v[1], limbsum(a_bits, False))))
-        c.append(m(bind_ab, sub(op2[0], limbsum(b_bits, True))))
-        c.append(m(bind_ab, sub(op2[1], limbsum(b_bits, False))))
-        RL = limbsum(r_bits, True)
-        RH = limbsum(r_bits, False)
+        c.append(m(bind_ab, sub(rs1v[0], alg.gweighted(a_blk, W_LO))))
+        c.append(m(bind_ab, sub(rs1v[1], alg.gweighted(a_blk, W_HI))))
+        c.append(m(bind_ab, sub(op2[0], alg.gweighted(b_blk, W_LO))))
+        c.append(m(bind_ab, sub(op2[1], alg.gweighted(b_blk, W_HI))))
+        RL = alg.gweighted(r_blk, W_LO)
+        RH = alg.gweighted(r_blk, W_HI)
 
         # ---- shared adder ----
         c0b, c1b = d.data(DC.c0), d.data(DC.c1)
@@ -488,39 +495,44 @@ class Rv32imAir(dsl.Air):
         c.append(m(is_subm, sub(add(add(op2[1], RH), c0b),
                                 add(rs1v[1], m(c1b, c16)))))
 
-        # ---- logic ops ----
+        # ---- logic ops (grouped over 32 bits) ----
         is_logic = m(is_alu, dsum([f3[4], f3[6], f3[7]]))
-        logic_terms = []
-        for j in range(32):
-            a, b = a_bits[j], b_bits[j]
-            ab = m(a, b)
-            x_xor = sub(add(a, b), add(ab, ab))
-            x_or = sub(add(a, b), ab)
-            expect = dsum([m(f3[4], x_xor), m(f3[6], x_or), m(f3[7], ab)])
-            logic_terms.append(m(is_logic, sub(r_bits[j], expect)))
-        c.append(VecVal(alg.stack(logic_terms)))
+        ab = gm(a_blk, b_blk)
+        apb = ga(a_blk, b_blk)
+        x_xor = gs(apb, ga(ab, ab))
+        x_or = gs(apb, ab)
+        expect = ga(gm(B(f3[4]), x_xor), ga(gm(B(f3[6]), x_or),
+                                            gm(B(f3[7]), ab)))
+        c.append(VecVal(gm(B(is_logic), gs(r_blk, expect))))
 
-        # ---- shifts (barrel via sh_oh) ----
+        # ---- shifts (barrel: 32 grouped shifted accumulations) ----
         is_sll = m(is_alu, f3[1])
-        is_srx = m(is_alu, f3[5])
-        shamt = dsum([m(b_bits[i], alg.const(1 << i)) for i in range(5)])
-        sh_idx = dsum([m(sh_oh[s], alg.const(s)) for s in range(1, 32)])
-        c.append(m(add(is_sll, is_srx), sub(sh_idx, shamt)))
-        shift_terms = []
-        for j in range(32):
-            e_sll = dsum([m(sh_oh[s], a_bits[j - s]) for s in range(j + 1)])
-            e_srl = dsum([m(sh_oh[s], a_bits[j + s]) for s in range(32 - j)])
-            e_sra = dsum([m(sh_oh[s], a_bits[min(j + s, 31)])
-                          for s in range(32)])
-            expect = add(m(is_sll, e_sll),
-                         add(m(m(is_srx, sub(one, alt)), e_srl),
-                             m(m(is_srx, alt), e_sra)))
-            shift_terms.append(sub(m(add(is_sll, is_srx), r_bits[j]), expect))
-        c.append(VecVal(alg.stack(shift_terms)))
+        is_srl = m(is_alu, m(f3[5], sub(one, alt)))
+        is_sra = m(is_alu, m(f3[5], alt))
+        is_shift = add(is_sll, add(is_srl, is_sra))
+        shamt = alg.gweighted(b_blk, np.array(
+            [1 << i if i < 5 else 0 for i in range(32)], dtype=np.int64))
+        sh_idx = alg.gweighted(sh_blk, np.arange(32))
+        c.append(m(is_shift, sub(sh_idx, shamt)))
+        e_sll = None
+        e_srl = None
+        e_sra = None
+        for s in range(32):
+            oh_s = B(d.data(DC.sh_oh.start + s))
+            t1 = gm(oh_s, alg.gshift_sll(a_blk, s))
+            t2 = gm(oh_s, alg.gshift_srl(a_blk, s))
+            t3 = gm(oh_s, alg.gshift_sra(a_blk, s))
+            e_sll = t1 if e_sll is None else ga(e_sll, t1)
+            e_srl = t2 if e_srl is None else ga(e_srl, t2)
+            e_sra = t3 if e_sra is None else ga(e_sra, t3)
+        expect = ga(gm(B(is_sll), e_sll),
+                    ga(gm(B(is_srl), e_srl), gm(B(is_sra), e_sra)))
+        c.append(VecVal(gs(gm(B(is_shift), r_blk), expect)))
 
         # ---- comparisons / branches ----
         lt_u = c1b
-        a31, b31 = a_bits[31], b_bits[31]
+        a31 = d.data(DC.a_bits.start + 31)
+        b31 = d.data(DC.b_bits.start + 31)
         two = alg.const(2)
         sx = sub(add(a31, b31), m(two, m(a31, b31)))
         lt_s = sub(add(lt_u, sx), m(two, m(lt_u, sx)))
@@ -545,29 +557,28 @@ class Rv32imAir(dsl.Air):
         c.append(m(slt_sel, rdv[1]))
         c.append(m(is_lui, sub(rdv[0], imm_lo)))
         c.append(m(is_lui, sub(rdv[1], imm_hi)))
-        RH26 = dsum([m(r_bits[i], alg.const(1 << (i - 16)))
-                     for i in range(16, 26)])
+        RH26 = alg.gweighted(r_blk, W_HI26)
         c.append(m(is_jal, sub(rdv[0], RL)))
         c.append(m(is_jal, sub(rdv[1], RH)))
         c.append(m(is_jal, sub(add(pc, alg.const(4)),
                                add(RL, m(c16, RH26)))))
         # jalr: rdv = pc + 4, range-bound through b_bits (free on jalr rows:
-        # bind_ab excludes jalr, and the adder consumes op2 limbs, not bits).
-        BL = limbsum(b_bits, True)
-        BH26 = dsum([m(b_bits[i], alg.const(1 << (i - 16)))
-                     for i in range(16, 26)])
+        # bind_ab excludes jalr; the adder consumes op2 limbs, not bits).
+        BL = alg.gweighted(b_blk, W_LO)
+        BH26 = alg.gweighted(b_blk, W_HI26)
         c.append(m(is_jalr, sub(rdv[0], BL)))
         c.append(m(is_jalr, sub(rdv[1], BH26)))
         c.append(m(is_jalr, sub(add(pc, alg.const(4)), add(BL, m(c16, BH26)))))
-        c.append(VecVal(alg.stack([m(is_jalr, b_bits[i])
-                                   for i in range(26, 32)])))
+        hi_mask = np.array([1 if i >= 26 else 0 for i in range(32)],
+                           dtype=np.int64)
+        c.append(VecVal(gm(B(is_jalr), gm(b_blk, alg.gconst(hi_mask)))))
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])
-        c.append(VecVal(alg.stack([m(add(addr_users, is_jal), r_bits[i])
-                                   for i in range(26, 32)])))
-        c.append(m(addr_users, r_bits[0]))
-        c.append(m(addr_users, r_bits[1]))
+        c.append(VecVal(gm(B(add(addr_users, is_jal)),
+                           gm(r_blk, alg.gconst(hi_mask)))))
+        c.append(m(addr_users, d.data(DC.r_bits.start)))
+        c.append(m(addr_users, d.data(DC.r_bits.start + 1)))
         ADDR_BYTES = add(RL, m(c16, RH26))
 
         # ---- pc transition ----
@@ -584,26 +595,24 @@ class Rv32imAir(dsl.Air):
         c.append(m(not_last, sub(pc_n, add(m(active, pc_next),
                                            m(sub(one, active), pc)))))
 
-        # ---- register transitions ----
+        # ---- register transitions (grouped per limb over 32 regs) ----
         wen = dsum([is_lui, is_jal, is_jalr, is_load, is_alui, is_alur])
-        reg_terms = []
-        for kk in range(32):
-            if kk == 0:
-                w_oh = alg.zero()
-            elif kk == 10:
-                w_oh = add(m(wen, rd_oh[kk]), k_read)
-            else:
-                w_oh = m(wen, rd_oh[kk])
-            for limb in range(2):
-                r_now = reg(kk, limb)
-                r_nxt = reg(kk, limb, nx)
-                delta_w = m(w_oh, sub(rdv[limb], r_now))
-                reg_terms.append(
-                    m(not_last, sub(r_nxt, add(r_now, m(active, delta_w)))))
-        c.append(VecVal(alg.stack(reg_terms)))
+        e10 = np.zeros(32, dtype=np.int64)
+        e10[10] = 1
+        not0 = np.ones(32, dtype=np.int64)
+        not0[0] = 0
+        w_oh = ga(gm(B(wen), rd_blk), gm(B(k_read), alg.gconst(e10)))
+        w_oh = gm(w_oh, alg.gconst(not0))  # never write x0
+        nxt_lo = nx.datab(reg_lo_idx)
+        nxt_hi = nx.datab(reg_hi_idx)
+        for limb, (now_l, nxt_l) in ((0, (regs_lo, nxt_lo)),
+                                     (1, (regs_hi, nxt_hi))):
+            delta_w = gm(w_oh, gs(B(rdv[limb]), now_l))
+            c.append(VecVal(gm(B(not_last),
+                               gs(nxt_l, ga(now_l, gm(B(active), delta_w))))))
 
         # ---- ecall kind binding (t0 = reg 5) ----
-        kind_val = dsum([m(k[i], alg.const(i)) for i in range(1, 5)])
+        kind_val = alg.gweighted(d.datab(DC.k), np.arange(5))
         c.append(m(is_ecall, sub(reg(5, 0), kind_val)))
         c.append(m(is_ecall, reg(5, 1)))
 
@@ -628,10 +637,11 @@ class Rv32imAir(dsl.Air):
         s_clk, s_clk_n = d.data(DC.s_clk), nx.data(DC.s_clk)
         s_val = [d.data(DC.s_val.start + i) for i in range(2)]
         s_val_n = [nx.data(DC.s_val.start + i) for i in range(2)]
-        dbits_n = [nx.data(DC.s_dbits.start + i) for i in range(26)]
         dd = add(m(s_new_n, sub(s_addr_n, s_addr)),
                  m(sub(one, s_new_n), sub(s_clk_n, s_clk)))
-        dsum_bits = dsum([m(dbits_n[i], alg.const(1 << i)) for i in range(26)])
+        dsum_bits = alg.gweighted(
+            nx.datab(DC.s_dbits),
+            np.array([1 << i for i in range(26)], dtype=np.int64))
         gate = m(not_last, m(s_active, s_active_n))
         c.append(m(gate, sub(sub(dd, one), dsum_bits)))
         c.append(m(gate, m(sub(one, s_new_n), sub(s_addr_n, s_addr))))
@@ -676,15 +686,12 @@ class Rv32imAir(dsl.Air):
         c.append(m(d.data(DC.mult_fetch), sub(one, t_act)))
         c.append(m(d.data(DC.mult_init), sub(one, t_act)))
 
-        # ---- claim boundaries ----
-        bnd = []
-        for i in range(64):
-            r_col = d.data(DC.regs.start + i)
-            bnd.append(m(is_first,
-                         sub(r_col, alg.pubval(pub.pre_regs[i]))))
-            bnd.append(m(is_last,
-                         sub(r_col, alg.pubval(pub.post_regs[i]))))
-        c.append(VecVal(alg.stack(bnd)))
+        # ---- claim boundaries (grouped over all 64 reg limbs) ----
+        regs_full = d.datab(slice(DC.regs.start, DC.regs.stop))
+        c.append(VecVal(gm(B(is_first),
+                           gs(regs_full, alg.gpub(pub.pre_regs)))))
+        c.append(VecVal(gm(B(is_last),
+                           gs(regs_full, alg.gpub(pub.post_regs)))))
         c.append(m(is_first, sub(pc, alg.pubval(pub.pre_pc))))
         c.append(m(is_last, sub(pc, alg.pubval(pub.post_pc))))
         c.append(m(is_last, sub(halted, alg.pubval(pub.halted))))

@@ -373,6 +373,12 @@ class _ColAccessor:
     def __getitem__(self, i):
         return self._evals[:, i]
 
+    def block(self, idx):
+        """Stacked columns: idx is a slice or index list -> (M, G)."""
+        if isinstance(idx, slice):
+            return self._evals[:, idx]
+        return self._evals[:, jnp.asarray(idx)]
+
 
 class _TapAccessor:
     """cols[i] -> (4,) ext tap value (DEEP evaluation)."""
@@ -383,6 +389,12 @@ class _TapAccessor:
 
     def __getitem__(self, i):
         return self._taps[i, self._o]
+
+    def block(self, idx):
+        """Stacked taps -> (G, 4)."""
+        if isinstance(idx, slice):
+            return self._taps[idx, self._o]
+        return self._taps[jnp.asarray(idx), self._o]
 
 
 def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
