@@ -1,0 +1,410 @@
+// rv32im witness generation: native per-cycle trace fill.
+//
+// C++ counterpart of zkvm/witness.py::trace_segment's cycle loop — the
+// role the reference assigns to risc0-circuit-rv32im-sys's host witness
+// generation (SURVEY.md §2.4: "witness-gen host-side feeding device trace
+// buffers"). Must stay bit-identical to the Python replay; the test suite
+// diffs both outputs.
+//
+// Build: g++ -O2 -shared -fPIC -o libbt_witness.so witness_gen.cpp
+// Loaded via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <unordered_map>
+
+namespace {
+
+constexpr uint64_t FP = 2013265921ull;  // Baby Bear
+constexpr uint32_t M32 = 0xFFFFFFFFu;
+
+// Column layout offsets, passed from Python (order fixed; see witness.py).
+struct Layout {
+  int32_t regs, pc, sel, f3, alt, imm_lo, imm_hi, imm_field;
+  int32_t rd_oh, rs1_oh, rs2_oh, rs1v, rs2v, op2, rdv;
+  int32_t a_bits, b_bits, r_bits, sh_oh, c0, c1, eq, z_inv, taken;
+  int32_t k, commit_seq, read_seq, verify_seq, active, halted;
+};
+
+uint64_t modpow(uint64_t b, uint64_t e, uint64_t m) {
+  uint64_t r = 1;
+  b %= m;
+  while (e) {
+    if (e & 1) r = (__uint128_t)r * b % m;
+    b = (__uint128_t)b * b % m;
+    e >>= 1;
+  }
+  return r;
+}
+
+int32_t sext(uint32_t v, int bits) {
+  uint32_t m = 1u << (bits - 1);
+  v &= (1u << bits) - 1;
+  return (int32_t)((v ^ m) - m);
+}
+
+struct Decoded {
+  int sel[10] = {0};
+  int f3 = 0;
+  int alt = 0;
+  uint32_t imm_lo = 0, imm_hi = 0;
+  uint64_t imm_field = 0;
+  int rd = 0, rs1 = 0, rs2 = 0;
+  bool valid = false;
+};
+
+// Mirrors witness.py::decode_row exactly.
+Decoded decode(uint32_t word) {
+  Decoded d;
+  uint32_t op = word & 0x7F;
+  d.rd = (word >> 7) & 0x1F;
+  d.f3 = (word >> 12) & 0x7;
+  d.rs1 = (word >> 15) & 0x1F;
+  d.rs2 = (word >> 20) & 0x1F;
+  int32_t imm_i = sext(word >> 20, 12);
+  int32_t imm_s = sext(((word >> 25) << 5) | ((word >> 7) & 0x1F), 12);
+  int32_t imm_b = sext((((word >> 31) & 1) << 12) | (((word >> 7) & 1) << 11) |
+                           (((word >> 25) & 0x3F) << 5) |
+                           (((word >> 8) & 0xF) << 1),
+                       13);
+  uint32_t imm_u = word & 0xFFFFF000u;
+  int32_t imm_j = sext((((word >> 31) & 1) << 20) |
+                           (((word >> 12) & 0xFF) << 12) |
+                           (((word >> 20) & 1) << 11) |
+                           (((word >> 21) & 0x3FF) << 1),
+                       21);
+  auto set_imm32 = [&](uint32_t v) {
+    d.imm_lo = v & 0xFFFF;
+    d.imm_hi = v >> 16;
+  };
+  d.valid = true;
+  switch (op) {
+    case 0b0110111:  // LUI
+      d.sel[0] = 1;
+      set_imm32(imm_u);
+      d.rs1 = d.rs2 = 0;
+      break;
+    case 0b0010111:  // AUIPC
+      d.sel[1] = 1;
+      set_imm32(imm_u);
+      d.rs1 = d.rs2 = 0;
+      break;
+    case 0b1101111:  // JAL
+      d.sel[2] = 1;
+      d.imm_field = ((int64_t)imm_j % (int64_t)FP + FP) % FP;
+      d.rs1 = d.rs2 = 0;
+      break;
+    case 0b1100111:  // JALR
+      d.sel[3] = 1;
+      set_imm32((uint32_t)imm_i);
+      d.rs2 = 0;
+      break;
+    case 0b1100011:  // BRANCH
+      d.sel[4] = 1;
+      d.imm_field = ((int64_t)imm_b % (int64_t)FP + FP) % FP;
+      d.rd = 0;
+      break;
+    case 0b0000011:  // LOAD
+      d.sel[5] = 1;
+      set_imm32((uint32_t)imm_i);
+      d.rs2 = 0;
+      break;
+    case 0b0100011:  // STORE
+      d.sel[6] = 1;
+      set_imm32((uint32_t)imm_s);
+      d.rd = 0;
+      break;
+    case 0b0010011:  // ALU-IMM
+      d.sel[7] = 1;
+      if (d.f3 == 1 || d.f3 == 5) {
+        d.imm_lo = (word >> 20) & 0x1F;
+        d.alt = (word >> 30) & 1;
+      } else {
+        set_imm32((uint32_t)imm_i);
+      }
+      d.rs2 = 0;
+      break;
+    case 0b0110011:  // ALU-REG
+      d.sel[8] = 1;
+      d.alt = (word >> 30) & 1;
+      break;
+    case 0b1110011:  // SYSTEM
+      d.sel[9] = 1;
+      d.rd = d.rs1 = d.rs2 = 0;
+      d.f3 = 0;
+      break;
+    default:
+      d.valid = false;
+  }
+  return d;
+}
+
+void fail(char* err, int len, const char* msg) { snprintf(err, len, "%s", msg); }
+
+}  // namespace
+
+extern "C" int bt_trace_cycles(
+    const uint32_t* img_addrs, const uint32_t* img_words, int n_img,
+    uint32_t pre_pc, uint32_t* regs /*32 in-out*/, const uint32_t* mem_addrs,
+    const uint32_t* mem_vals, int n_mem, const uint32_t* reads, int n_reads,
+    uint64_t* seqs /*3 in-out: commit, read, verify*/, int cycles, int n_rows,
+    int data_cols, const int32_t* layout_arr, int64_t* data_out,
+    int64_t* mem_ops_out /*(cap,4)*/, int64_t* io_rows_out /*(cap,4)*/,
+    int32_t* counts /*2 out: n_mem_ops, n_io*/, uint32_t* post_pc,
+    char* err, int err_len) {
+  Layout L;
+  std::memcpy(&L, layout_arr, sizeof(L));
+  std::unordered_map<uint32_t, uint32_t> mem;
+  std::unordered_map<uint32_t, uint32_t> img;
+  mem.reserve(n_mem * 2);
+  for (int i = 0; i < n_mem; i++) mem[mem_addrs[i]] = mem_vals[i];
+  for (int i = 0; i < n_img; i++) img[img_addrs[i]] = img_words[i];
+  uint32_t pc = pre_pc;
+  int read_pos = 0;
+  int n_ops = 0, n_io = 0;
+  bool halted = false;
+
+  auto row = [&](int clk) { return data_out + (int64_t)clk * data_cols; };
+
+  for (int clk = 0; clk < cycles; clk++) {
+    int64_t* r = row(clk);
+    r[L.pc] = pc;
+    for (int i = 0; i < 32; i++) {
+      r[L.regs + 2 * i] = regs[i] & 0xFFFF;
+      r[L.regs + 2 * i + 1] = regs[i] >> 16;
+    }
+    r[L.active] = 1;
+    r[L.halted] = halted ? 1 : 0;
+    r[L.commit_seq] = (int64_t)seqs[0];
+    r[L.read_seq] = (int64_t)seqs[1];
+    r[L.verify_seq] = (int64_t)seqs[2];
+    if (halted) return fail(err, err_len, "cycle after halt"), 1;
+
+    auto it = mem.find(pc & ~3u);
+    if (it == mem.end()) return fail(err, err_len, "fetch unmapped pc"), 1;
+    auto ig = img.find(pc & ~3u);
+    if (ig == img.end() || ig->second != it->second)
+      return fail(err, err_len, "self-modifying code is not provable"), 1;
+    uint32_t word = it->second;
+    Decoded d = decode(word);
+    if (!d.valid || d.sel[1])
+      return fail(err, err_len, "unprovable instruction"), 1;
+
+    for (int i = 0; i < 10; i++) r[L.sel + i] = d.sel[i];
+    r[L.f3 + d.f3] = 1;
+    r[L.alt] = d.alt;
+    r[L.imm_lo] = d.imm_lo;
+    r[L.imm_hi] = d.imm_hi;
+    r[L.imm_field] = (int64_t)d.imm_field;
+    r[L.rd_oh + d.rd] = 1;
+    r[L.rs1_oh + d.rs1] = 1;
+    r[L.rs2_oh + d.rs2] = 1;
+
+    uint32_t rs1v = regs[d.rs1];
+    uint32_t rs2v = regs[d.rs2];
+    uint32_t imm32 = d.imm_lo | (d.imm_hi << 16);
+    bool use_imm = d.sel[7] || d.sel[5] || d.sel[6] || d.sel[3];
+    uint32_t op2 = use_imm ? imm32 : rs2v;
+    r[L.rs1v] = rs1v & 0xFFFF;
+    r[L.rs1v + 1] = rs1v >> 16;
+    r[L.rs2v] = rs2v & 0xFFFF;
+    r[L.rs2v + 1] = rs2v >> 16;
+    r[L.op2] = op2 & 0xFFFF;
+    r[L.op2 + 1] = op2 >> 16;
+
+    bool is_alu = d.sel[7] || d.sel[8];
+    bool bind_ab = is_alu || d.sel[4];
+    if (bind_ab) {
+      for (int i = 0; i < 32; i++) {
+        r[L.a_bits + i] = (rs1v >> i) & 1;
+        r[L.b_bits + i] = (op2 >> i) & 1;
+      }
+    }
+
+    uint32_t rdv = 0;
+    uint32_t next_pc = pc + 4;
+    bool have_r32 = false;
+    uint32_t r32 = 0;
+    int c0 = 0, c1 = 0;
+    int sh_set = 0;  // 1 if sh_oh written explicitly
+
+    auto addm = [&]() {
+      uint64_t s = (uint64_t)rs1v + op2;
+      r32 = (uint32_t)s;
+      have_r32 = true;
+      c0 = ((rs1v & 0xFFFF) + (op2 & 0xFFFF)) >> 16 ? 1 : 0;
+      c1 = s >> 32 ? 1 : 0;
+    };
+    auto subm = [&]() {
+      r32 = rs1v - op2;
+      have_r32 = true;
+      c0 = ((op2 & 0xFFFF) + (r32 & 0xFFFF)) >> 16 ? 1 : 0;
+      c1 = ((uint64_t)op2 + r32) >> 32 ? 1 : 0;
+    };
+
+    if (d.sel[0]) {  // LUI
+      rdv = imm32;
+    } else if (d.sel[2]) {  // JAL
+      r32 = pc + 4;
+      have_r32 = true;
+      rdv = r32;
+      int64_t imm = (int64_t)d.imm_field;
+      if (imm > (int64_t)FP / 2) imm -= (int64_t)FP;
+      next_pc = (uint32_t)((int64_t)pc + imm);
+    } else if (d.sel[3]) {  // JALR
+      addm();
+      uint32_t target = r32;
+      if ((target & 3) || target >= (1u << 26))
+        return fail(err, err_len, "jalr target unaligned or out of range"), 1;
+      next_pc = target;
+      rdv = pc + 4;
+      for (int i = 0; i < 32; i++) r[L.b_bits + i] = (rdv >> i) & 1;
+    } else if (d.sel[4]) {  // BRANCH
+      subm();
+      int lt_u = c1;
+      int a31 = (rs1v >> 31) & 1, b31 = (op2 >> 31) & 1;
+      int lt_s = lt_u ^ a31 ^ b31;
+      uint32_t z = (r32 & 0xFFFF) + (r32 >> 16);
+      int eqf = z == 0 ? 1 : 0;
+      r[L.eq] = eqf;
+      r[L.z_inv] = z ? (int64_t)modpow(z % FP, FP - 2, FP) : 0;
+      int taken;
+      switch (d.f3) {
+        case 0: taken = eqf; break;
+        case 1: taken = 1 - eqf; break;
+        case 4: taken = lt_s; break;
+        case 5: taken = 1 - lt_s; break;
+        case 6: taken = lt_u; break;
+        case 7: taken = 1 - lt_u; break;
+        default: return fail(err, err_len, "bad branch f3"), 1;
+      }
+      r[L.taken] = taken;
+      if (taken) {
+        int64_t imm = (int64_t)d.imm_field;
+        if (imm > (int64_t)FP / 2) imm -= (int64_t)FP;
+        next_pc = (uint32_t)((int64_t)pc + imm);
+      }
+    } else if (d.sel[5] || d.sel[6]) {  // LOAD / STORE
+      addm();
+      uint32_t addr = r32;
+      if ((addr & 3) || addr >= (1u << 26))
+        return fail(err, err_len, "memory access unaligned or out of range"), 1;
+      uint32_t waddr = addr >> 2;
+      if (d.sel[5]) {
+        auto mv = mem.find(addr);
+        if (mv == mem.end())
+          return fail(err, err_len, "uninitialized read"), 1;
+        rdv = mv->second;
+        if (n_ops >= n_rows) return fail(err, err_len, "mem ops overflow"), 1;
+        mem_ops_out[4 * n_ops] = clk;
+        mem_ops_out[4 * n_ops + 1] = waddr;
+        mem_ops_out[4 * n_ops + 2] = 0;
+        mem_ops_out[4 * n_ops + 3] = rdv;
+        n_ops++;
+      } else {
+        mem[addr] = rs2v;
+        if (n_ops >= n_rows) return fail(err, err_len, "mem ops overflow"), 1;
+        mem_ops_out[4 * n_ops] = clk;
+        mem_ops_out[4 * n_ops + 1] = waddr;
+        mem_ops_out[4 * n_ops + 2] = 1;
+        mem_ops_out[4 * n_ops + 3] = rs2v;
+        n_ops++;
+      }
+    } else if (d.sel[7] || d.sel[8]) {  // ALU
+      switch (d.f3) {
+        case 0:
+          if (d.alt) subm(); else addm();
+          rdv = r32;
+          break;
+        case 2:
+        case 3: {
+          subm();
+          int lt_u = c1;
+          int a31 = (rs1v >> 31) & 1, b31 = (op2 >> 31) & 1;
+          int lt_s = lt_u ^ a31 ^ b31;
+          rdv = d.f3 == 2 ? lt_s : lt_u;
+          break;
+        }
+        case 1: {
+          int sh = op2 & 0x1F;
+          r32 = rs1v << sh;
+          have_r32 = true;
+          rdv = r32;
+          r[L.sh_oh + sh] = 1;
+          sh_set = 1;
+          break;
+        }
+        case 5: {
+          int sh = op2 & 0x1F;
+          r32 = d.alt ? (uint32_t)((int32_t)rs1v >> sh) : (rs1v >> sh);
+          have_r32 = true;
+          rdv = r32;
+          r[L.sh_oh + sh] = 1;
+          sh_set = 1;
+          break;
+        }
+        case 4: r32 = rs1v ^ op2; have_r32 = true; rdv = r32; break;
+        case 6: r32 = rs1v | op2; have_r32 = true; rdv = r32; break;
+        case 7: r32 = rs1v & op2; have_r32 = true; rdv = r32; break;
+        default: return fail(err, err_len, "bad alu f3"), 1;
+      }
+    } else if (d.sel[9]) {  // ECALL
+      uint32_t t0 = regs[5];
+      if (t0 > 4) return fail(err, err_len, "unknown ecall"), 1;
+      r[L.k + t0] = 1;
+      uint32_t a0 = regs[10];
+      if (t0 == 0) {
+        halted = true;
+      } else if (t0 == 1) {
+        if (n_io >= n_rows) return fail(err, err_len, "io overflow"), 1;
+        io_rows_out[4 * n_io] = 4;  // TAG commit
+        io_rows_out[4 * n_io + 1] = (int64_t)seqs[0];
+        io_rows_out[4 * n_io + 2] = a0 & 0xFFFF;
+        io_rows_out[4 * n_io + 3] = a0 >> 16;
+        n_io++;
+        seqs[0]++;
+      } else if (t0 == 2) {
+        if (read_pos >= n_reads)
+          return fail(err, err_len, "segment read log exhausted"), 1;
+        if (n_io >= n_rows) return fail(err, err_len, "io overflow"), 1;
+        uint32_t wv = reads[read_pos++];
+        rdv = wv;
+        io_rows_out[4 * n_io] = 5;  // TAG read
+        io_rows_out[4 * n_io + 1] = (int64_t)seqs[1];
+        io_rows_out[4 * n_io + 2] = wv & 0xFFFF;
+        io_rows_out[4 * n_io + 3] = wv >> 16;
+        n_io++;
+        seqs[1]++;
+        regs[10] = wv;
+      } else if (t0 == 4) {
+        if (n_io >= n_rows) return fail(err, err_len, "io overflow"), 1;
+        io_rows_out[4 * n_io] = 6;  // TAG verify
+        io_rows_out[4 * n_io + 1] = (int64_t)seqs[2];
+        io_rows_out[4 * n_io + 2] = a0 & 0xFFFF;
+        io_rows_out[4 * n_io + 3] = a0 >> 16;
+        n_io++;
+        seqs[2]++;
+      }  // t0 == 3 (LOG): no constrained effect
+    }
+
+    if (have_r32)
+      for (int i = 0; i < 32; i++) r[L.r_bits + i] = (r32 >> i) & 1;
+    if (!sh_set) r[L.sh_oh] = 1;
+    r[L.c0] = c0;
+    r[L.c1] = c1;
+    r[L.rdv] = rdv & 0xFFFF;
+    r[L.rdv + 1] = rdv >> 16;
+
+    bool wen = d.sel[0] || d.sel[2] || d.sel[3] || d.sel[5] || d.sel[7] ||
+               d.sel[8];
+    if (wen && d.rd != 0) regs[d.rd] = rdv;
+    pc = next_pc;
+  }
+  counts[0] = n_ops;
+  counts[1] = n_io;
+  *post_pc = pc;
+  // report halt state via counts[2]? use err buffer convention instead:
+  err[0] = halted ? 1 : 0;
+  return 0;
+}

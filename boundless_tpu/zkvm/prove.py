@@ -71,10 +71,22 @@ def image_id_of(image: MemoryImage, po2: int) -> np.ndarray:
     return _image_ctrl(image, po2)[1]
 
 
+def _gen_witness(image, seg):
+    """Prefer the C++ witness generator; fall back to the Python replay."""
+    try:
+        return witness.trace_segment_native(image, seg, seg.po2)
+    except (OSError, ImportError, Exception) as e:
+        from .executor import GuestFault
+
+        if isinstance(e, GuestFault):
+            raise
+        return witness.trace_segment(image, seg, seg.po2)
+
+
 def prove_segment(image: MemoryImage, seg: Segment,
                   ps: stark.ProofSystem = DEFAULT_PS) -> SegmentReceipt:
     """Generate the witness and prove one segment (jitted XLA program)."""
-    w = witness.trace_segment(image, seg, seg.po2)
+    w = _gen_witness(image, seg)
     data = F.fp(w.data)
     ctrl, image_id = _image_ctrl(image, seg.po2)
     pub = witness.to_public_values(w.pub)
