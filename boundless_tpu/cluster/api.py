@@ -100,9 +100,21 @@ class ClusterApi:
 
     # -- metrics --------------------------------------------------------
     def metrics(self) -> dict:
+        from . import metrics as M
+
         counts = self.ctx.db.count_task_states()
+        for (stream, state), n in counts.items():
+            sv = state if isinstance(state, str) else state.value
+            M.REGISTRY.gauge_set(M.TASK_QUEUE_DEPTH, n, stream=stream,
+                                 state=sv)
         return {f"{stream}/{state if isinstance(state, str) else state.value}":
                 n for (stream, state), n in counts.items()}
+
+    def metrics_text(self) -> str:
+        from . import metrics as M
+
+        self.metrics()  # refresh queue-depth gauges
+        return M.REGISTRY.render()
 
 
 def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
@@ -171,6 +183,9 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
                         self._send(200, data, "application/octet-stream")
                 elif parts == ["workers", "metrics"]:
                     self._send(200, api.metrics())
+                elif parts == ["metrics"]:
+                    self._send(200, api.metrics_text().encode(),
+                               "text/plain; version=0.0.4")
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

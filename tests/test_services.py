@@ -1,0 +1,103 @@
+"""Satellite market services + metrics registry tests."""
+
+import time
+
+from boundless_tpu.cluster.metrics import Registry
+from boundless_tpu.market.chain import MarketChain
+from boundless_tpu.market.services import (Distributor, Indexer,
+                                           RequestorList, Slasher)
+from boundless_tpu.market.types import (Offer, Predicate, ProofRequest,
+                                        RequestId, Requirements, sign_request,
+                                        Fulfillment)
+
+
+def _mk_chain(clock):
+    chain = MarketChain(lambda fill, req: True, clock=clock)
+    chain.create_account("alice", b"a", funds=1000)
+    chain.create_account("prover1", b"p", funds=1000)
+    chain.deposit_collateral("prover1", 200)
+    return chain
+
+
+def _mk_request(i=1, start=1000.0):
+    offer = Offer(min_price=10, max_price=20, bidding_start=start,
+                  ramp_up_period=1.0, lock_timeout=5.0, timeout=10.0,
+                  lock_collateral=50)
+    return ProofRequest(
+        id=RequestId("alice", i),
+        requirements=Requirements(image_id="ab",
+                                  predicate=Predicate.prefix_match(b"")),
+        image_url="local://elfs/x", input_data=b"", offer=offer)
+
+
+def test_slasher_slashes_expired():
+    t = [1000.0]
+    chain = _mk_chain(lambda: t[0])
+    req = _mk_request()
+    chain.submit_request(req, sign_request(req, b"a"))
+    chain.lock_request(req.id.encoded(), "prover1")
+    s = Slasher(chain, "watcher", poll=0.01)
+    s.start()
+    try:
+        time.sleep(0.05)
+        assert not s.slashed  # not yet expired
+        t[0] = 1011.0
+        deadline = time.time() + 2
+        while time.time() < deadline and not s.slashed:
+            time.sleep(0.01)
+        assert s.slashed == [req.id.encoded()]
+    finally:
+        s.stop()
+
+
+def test_indexer_aggregates():
+    t = [1000.0]
+    chain = _mk_chain(lambda: t[0])
+    for i in range(3):
+        req = _mk_request(i)
+        chain.submit_request(req, sign_request(req, b"a"))
+    req0 = chain.requests[RequestId("alice", 0).encoded()]
+    chain.lock_request(req0.id.encoded(), "prover1")
+    chain.fulfill([Fulfillment(request_id=req0.id, journal=b"x",
+                               claim_digest=b"c" * 32, seal=None,
+                               prover="prover1")])
+    idx = Indexer(chain)
+    agg = idx.sync()
+    assert agg.total_requests == 3
+    assert agg.total_fulfilled == 1
+    assert agg.per_prover_fulfilled == {"prover1": 1}
+    assert agg.per_requestor_requests == {"alice": 3}
+    assert agg.total_volume > 0
+    # incremental sync picks up only new events
+    req = _mk_request(7)
+    chain.submit_request(req, sign_request(req, b"a"))
+    agg2 = idx.sync()
+    assert agg2.total_requests == 4
+
+
+def test_distributor_topup():
+    chain = _mk_chain(time.time)
+    chain.create_account("treasury", b"t", funds=10_000)
+    chain.create_account("op1", b"o", funds=5)
+    d = Distributor(chain, "treasury", ["op1", "prover1"], min_balance=100,
+                    top_up=500)
+    moved = d.run_once()
+    assert moved == {"op1": 500}
+    assert chain.balances["op1"] == 505
+
+
+def test_requestor_list():
+    rl = RequestorList("priority", ["alice", "bob"])
+    assert rl.validate()
+    assert rl.is_member("alice") and not rl.is_member("eve")
+
+
+def test_metrics_registry():
+    r = Registry()
+    r.counter("tasks_total", stream="prove").inc()
+    r.counter("tasks_total", stream="prove").inc(2)
+    with r.histogram("dur_seconds", stream="prove").time():
+        pass
+    text = r.render()
+    assert 'tasks_total{stream="prove"} 3.0' in text
+    assert 'dur_seconds_count{stream="prove"} 1' in text
