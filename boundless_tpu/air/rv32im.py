@@ -106,6 +106,9 @@ class DataCols:
         self.s_dbits = a.get(26)
         self.mult_fetch = a.get()
         self.mult_init = a.get()
+        # pad to 384 = 3*128: TPU lane-friendly width, and divisible by
+        # every practical tp mesh size (unconstrained zero columns).
+        self.pad = a.get(384 - a.n)
         self.total = a.n
 
 
@@ -360,9 +363,12 @@ class Rv32imAir(dsl.Air):
         packs, sels = _ports(alg, _TraceRows(ctrl, data), gamma, dpows)
         out = jnp.zeros((n, AC.total), dtype=jnp.uint32)
         total = jnp.zeros((n, 4), dtype=jnp.uint32)
-        for port in AC.PORTS:
-            pk = jnp.broadcast_to(packs[port], (n, 4))
-            inv = F.ext_scale(F.ext_inv(pk), sels[port])
+        # one batched inversion across all 9 ports (graph-size discipline)
+        stacked = jnp.stack([jnp.broadcast_to(packs[p], (n, 4))
+                             for p in AC.PORTS])
+        invs = F.ext_inv(stacked)  # (9, N, 4)
+        for i, port in enumerate(AC.PORTS):
+            inv = F.ext_scale(invs[i], sels[port])
             out = out.at[:, AC.inv[port] : AC.inv[port] + 4].set(inv)
             total = F.ext_add(total,
                               inv if AC.SIGNS[port] > 0 else F.ext_neg(inv))

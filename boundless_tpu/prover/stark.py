@@ -411,17 +411,23 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
     xs_np, _ = _domain_tables(n)
     xs = jnp.asarray(xs_np)  # (4N,) base
 
+    # One batched inversion for all three DEEP denominators (the Fermat
+    # ladder contributes O(1) graph ops this way).
+    points = jnp.stack([z, zg, z4])  # (3, 4)
+    dens = F.ext_sub(F.ext_from_base(xs)[None, :, :],
+                     jnp.broadcast_to(points[:, None, :], (3, big, EXT)))
+    inv_dens = F.ext_inv(dens)  # (3, 4N, 4)
+
     combo = jnp.zeros((big, EXT), dtype=jnp.uint32)
-    for point, weights, evals, taps in (
-        (z, w_z, trace_evals, trace_taps[:, 0]),
-        (zg, w_zg, trace_evals, trace_taps[:, 1]),
-        (z4, w_check, check_evals, taps_check),
-    ):
+    for i, (weights, evals, taps) in enumerate((
+        (w_z, trace_evals, trace_taps[:, 0]),
+        (w_zg, trace_evals, trace_taps[:, 1]),
+        (w_check, check_evals, taps_check),
+    )):
         s = _weighted_col_sum(evals, weights)  # (4N, 4)
         cp = F.sum_mod(F.ext_mul(weights, taps), axis=0)  # (4,)
         num = F.ext_sub(s, jnp.broadcast_to(cp, s.shape))
-        den = F.ext_sub(F.ext_from_base(xs), jnp.broadcast_to(point, (big, EXT)))
-        combo = F.ext_add(combo, F.ext_mul(num, F.ext_inv(den)))
+        combo = F.ext_add(combo, F.ext_mul(num, inv_dens[i]))
     return combo
 
 
@@ -515,18 +521,21 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     xs_np, _ = _domain_tables(n)
     x_at = jnp.asarray(xs_np)[indices]  # (Q,) base
 
+    points = jnp.stack([z_, zg, z4])
+    dens = F.ext_sub(F.ext_from_base(x_at)[None, :, :],
+                     jnp.broadcast_to(points[:, None, :],
+                                      (3, ps.queries, EXT)))
+    inv_dens = F.ext_inv(dens)
     expected = jnp.zeros((ps.queries, EXT), dtype=jnp.uint32)
-    for point, weights, rows, taps in (
-        (z_, betas[:ct], trace_rows, trace_taps[:, 0]),
-        (zg, betas[ct : 2 * ct], trace_rows, trace_taps[:, 1]),
-        (z4, betas[2 * ct :], proof.open_check.rows, proof.taps_check),
-    ):
+    for i, (weights, rows, taps) in enumerate((
+        (betas[:ct], trace_rows, trace_taps[:, 0]),
+        (betas[ct : 2 * ct], trace_rows, trace_taps[:, 1]),
+        (betas[2 * ct :], proof.open_check.rows, proof.taps_check),
+    )):
         s = _weighted_col_sum(rows, weights)  # (Q, 4)
         cp = F.sum_mod(F.ext_mul(weights, taps), axis=0)
         num = F.ext_sub(s, jnp.broadcast_to(cp, s.shape))
-        den = F.ext_sub(F.ext_from_base(x_at),
-                        jnp.broadcast_to(point, (ps.queries, EXT)))
-        expected = F.ext_add(expected, F.ext_mul(num, F.ext_inv(den)))
+        expected = F.ext_add(expected, F.ext_mul(num, inv_dens[i]))
     ok = ok & jnp.all(F.sub(expected, round0) == 0)
     return ok
 
