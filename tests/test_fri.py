@@ -62,7 +62,6 @@ def test_fri_rejects_tamper():
 def test_fold16_matches_direct_formula():
     """Prover's 4x radix-2 fold == the verifier's direct sum formula."""
     m = 64
-    evals, _ = (lambda: None, None)  # placeholder
     coeffs = rng.integers(0, F.P, size=(m, 4), dtype=np.int64)
     cm = F.ext(coeffs)  # treat as arbitrary evals on GENERATOR*H_m
     evals = cm
