@@ -19,14 +19,28 @@ _LIBS: dict = {}
 
 
 def load(name: str, sources):
-    """Compile (if needed) and load lib<name>.so from `sources`."""
+    """Compile (if needed) and load lib<name>.so from `sources`.
+
+    Built into a /tmp cache keyed by source hash: executing shared objects
+    from the (possibly network/overlay-backed) repo directory measured
+    ~50x slower than from local tmpfs.
+    """
+    import hashlib
+    import tempfile
+
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
-        so_path = os.path.join(_DIR, f"lib{name}.so")
         srcs = [os.path.join(_DIR, s) for s in sources]
-        newest = max(os.path.getmtime(s) for s in srcs)
-        if not os.path.exists(so_path) or os.path.getmtime(so_path) < newest:
+        h = hashlib.sha256()
+        for s in srcs:
+            with open(s, "rb") as f:
+                h.update(f.read())
+        cache_dir = os.path.join(tempfile.gettempdir(), "bt_native")
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir,
+                               f"lib{name}-{h.hexdigest()[:16]}.so")
+        if not os.path.exists(so_path):
             cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
                    "-o", so_path] + srcs
             subprocess.run(cmd, check=True, capture_output=True)
