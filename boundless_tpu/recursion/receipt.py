@@ -67,7 +67,17 @@ class SpanClaim:
         blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
         return hashlib.sha256(b"boundless-tpu.claim.v1:" + blob.encode()).digest()
 
+    def validate_io(self):
+        """Range-check public io rows: limbs must be 16-bit (the in-circuit
+        register-file range invariant leans on reads being well-formed)."""
+        for tag, seq, lo, hi in self.io:
+            if not (0 <= lo < (1 << 16) and 0 <= hi < (1 << 16)):
+                raise RecursionError("io word limb out of range")
+            if seq < 0:
+                raise RecursionError("negative io sequence")
+
     def journal_words(self) -> List[int]:
+        self.validate_io()
         rows = sorted((r for r in self.io if r[0] == TAG["commit"]),
                       key=lambda r: r[1])
         for i, r in enumerate(rows):
@@ -171,6 +181,10 @@ def verify_succinct(receipt: SuccinctReceipt, ps: stark.ProofSystem = None,
     kwargs = {} if ps is None else {"ps": ps}
     segs = receipt.segments
     if not segs:
+        return False
+    try:
+        receipt.claim.validate_io()
+    except RecursionError:
         return False
     if expected_image_id is not None and tuple(
             int(x) for x in expected_image_id) != receipt.claim.image_id:
