@@ -7,6 +7,7 @@ grand-product with a mix challenge), plus the check polynomial and FRI.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from boundless_tpu.core import field as F
 from boundless_tpu.air import dsl
@@ -102,6 +103,7 @@ def digest_of(x):
     return P2.hash_elems(F.fp(np.asarray(x, dtype=np.int64)))
 
 
+@pytest.mark.slow
 def test_fib_roundtrip_and_tamper():
     air = FibAir()
     trace = fib_trace(N)
@@ -125,6 +127,7 @@ def test_fib_roundtrip_and_tamper():
     assert not bool(ok3)
 
 
+@pytest.mark.slow
 def test_prod_air_with_accum_and_globals():
     air = ProdAir()
     data = F.fp(rng.integers(0, F.P, size=(N, 1), dtype=np.int64))
