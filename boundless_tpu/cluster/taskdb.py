@@ -110,6 +110,8 @@ class MemoryBackend:
                     priority: int = Priority.MEDIUM, max_retries: int = 3,
                     timeout_secs: float = 3600.0):
         with self._cond:
+            if (job_id, task_id) in self.tasks:
+                return  # idempotent: exec-task retries re-emit the plan
             job = self.jobs[job_id]
             assert job["state"] == JobState.RUNNING
             job["unresolved"] += 1
@@ -331,6 +333,10 @@ class SqliteBackend:
                     timeout_secs=3600.0):
         now = time.time()
         with self._lock, self._db:
+            if self._db.execute(
+                    "SELECT 1 FROM tasks WHERE job_id=? AND task_id=?",
+                    (job_id, task_id)).fetchone():
+                return  # idempotent: exec-task retries re-emit the plan
             rows = self._db.execute(
                 "SELECT task_id FROM tasks WHERE job_id=? AND state='done' "
                 "AND task_id IN (%s)" % ",".join("?" * len(prereqs)),
