@@ -21,6 +21,10 @@ without in-circuit hashing (see air/rv32im.py):
     4 VERIFY      a0 = one word of an assumption claim digest (8 calls
                   push a full digest; composition — resolved at the
                   resolve stage, SURVEY §3.1)
+    5 KECCAK      a0 = ptr to a 50-word (25 x u64 LE) state: host applies
+                  keccak-f[1600] in place and records a coprocessor claim
+                  (proved by the coproc stream's keccak circuit + union
+                  tree — reference tasks/{keccak,union}.rs; circuit staged)
   Every ecall costs 1 cycle.
 """
 
@@ -34,7 +38,52 @@ import numpy as np
 
 from . import isa
 
-HALT, COMMIT, READ, LOG, VERIFY = range(5)
+HALT, COMMIT, READ, LOG, VERIFY, KECCAK = range(6)
+
+# keccak-f[1600] round constants / rotations (FIPS 202)
+_KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_KECCAK_ROT = [
+    [0, 36, 3, 41, 18], [1, 44, 10, 45, 2], [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56], [27, 20, 39, 8, 14],
+]
+_M64 = (1 << 64) - 1
+
+
+def keccak_f1600(state):
+    """keccak-f[1600] on a 25-int state (x + 5y indexing), pure Python."""
+    a = list(state)
+    for rc in _KECCAK_RC:
+        # theta
+        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ (((c[(x + 1) % 5] << 1)
+                               | (c[(x + 1) % 5] >> 63)) & _M64)
+             for x in range(5)]
+        a = [(a[i] ^ d[i % 5]) for i in range(25)]
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                r = _KECCAK_ROT[x][y]
+                v = a[x + 5 * y]
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = \
+                    ((v << r) | (v >> (64 - r))) & _M64
+        # chi
+        a = [b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & _M64
+                             & b[(x + 2) % 5 + 5 * y])
+             for y in range(5) for x in range(5)]
+        # iota
+        a[0] ^= rc
+    return a
 
 M32 = 0xFFFFFFFF
 
@@ -115,6 +164,7 @@ class Executor:
         self.verify_words = []
         self.log = bytearray()
         self.assumptions = []
+        self.keccak_claims = []  # (pre_digest, post_digest) per permutation
         self.segment_po2 = segment_po2
         # Reserve a few cycles of every segment for control rows.
         self.segment_limit = (1 << segment_po2) - 4
@@ -327,5 +377,22 @@ class Executor:
                 digest = b"".join(w.to_bytes(4, "little")
                                   for w in self.verify_words[-8:])
                 self.assumptions.append(digest)
+        elif code == KECCAK:
+            import hashlib
+
+            lanes = []
+            for i in range(25):
+                lo = self.load(a0 + 8 * i, 4, False)
+                hi = self.load(a0 + 8 * i + 4, 4, False)
+                lanes.append(lo | (hi << 32))
+            pre = hashlib.sha256(
+                b"".join(v.to_bytes(8, "little") for v in lanes)).digest()
+            lanes = keccak_f1600(lanes)
+            for i, v in enumerate(lanes):
+                self.store(a0 + 8 * i, 4, v & M32)
+                self.store(a0 + 8 * i + 4, 4, (v >> 32) & M32)
+            post = hashlib.sha256(
+                b"".join(v.to_bytes(8, "little") for v in lanes)).digest()
+            self.keccak_claims.append((pre, post))
         else:
             raise GuestFault(f"unknown ecall {code}")

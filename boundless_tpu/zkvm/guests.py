@@ -175,3 +175,38 @@ def memtest() -> MemoryImage:
 def words(ints):
     """Pack a list of u32 ints into input bytes."""
     return b"".join((int(w) & 0xFFFFFFFF).to_bytes(4, "little") for w in ints)
+
+
+# keccak: zero a 50-word state, run the keccak coprocessor ecall, commit
+# the first two output words (executor/coproc functional path; proving via
+# the keccak circuit is staged).
+KECCAK_SRC = """
+start:
+    li s4, 0x30000      # state buffer (50 words)
+    li s3, 0
+    li s2, 50
+zero_loop:
+    beq s3, s2, permute
+    slli t1, s3, 2
+    add t1, t1, s4
+    sw zero, 0(t1)
+    addi s3, s3, 1
+    j zero_loop
+permute:
+    mv a0, s4
+    li t0, 5            # KECCAK
+    ecall
+    lw a0, 0(s4)
+    li t0, 1
+    ecall               # commit word 0 (low half of lane 0)
+    lw a0, 4(s4)
+    li t0, 1
+    ecall               # commit word 1 (high half of lane 0)
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+
+def keccak_guest() -> MemoryImage:
+    return build(KECCAK_SRC)

@@ -132,3 +132,18 @@ def test_illegal_instruction_faults():
         assert False, "expected fault"
     except GuestFault:
         pass
+
+
+def test_keccak_coprocessor_ecall():
+    from boundless_tpu.zkvm.executor import keccak_f1600
+
+    res = run(guests.keccak_guest())
+    expect = keccak_f1600([0] * 25)[0]
+    lo = int.from_bytes(res.journal[0:4], "little")
+    hi = int.from_bytes(res.journal[4:8], "little")
+    assert lo | (hi << 32) == expect == 0xF1258F7940E1DDE7
+    ex = Executor(guests.keccak_guest())
+    ex.run()
+    assert len(ex.keccak_claims) == 1
+    pre, post = ex.keccak_claims[0]
+    assert pre != post
