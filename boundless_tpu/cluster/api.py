@@ -38,13 +38,11 @@ class ClusterApi:
 
     # -- uploads --------------------------------------------------------
     def upload_image(self, image_id: str, body: bytes):
-        self.ctx.store.put_bytes("elfs", image_id, body)
-        # validate it unpickles to a MemoryImage
-        img = pickle.loads(body)
-        from ..zkvm.executor import MemoryImage
+        """Accepts the safe BTIM wire format (never pickle: untrusted
+        input; see utils/serde.py)."""
+        from ..utils import serde
 
-        if not isinstance(img, MemoryImage):
-            raise ValueError("body is not a MemoryImage")
+        img = serde.load_image(body)
         self.ctx.store.put("elfs", image_id, img)
         return {"ok": True, "image_id": image_id}
 
@@ -211,7 +209,10 @@ class BentoClient:
             return resp.read()
 
     def upload_image(self, image_id: str, image) -> str:
-        self._req("PUT", f"/images/upload/{image_id}", pickle.dumps(image))
+        from ..utils import serde
+
+        self._req("PUT", f"/images/upload/{image_id}",
+                  serde.dump_image(image))
         return image_id
 
     def upload_input(self, input_id: str, data: bytes) -> str:

@@ -24,9 +24,11 @@ class ClusterProver:
         self.timeout = timeout
 
     def _ids_for(self, image, input_data):
+        from ...utils import serde
+
         image_id = image.image_id().hex()
         input_id = f"in-{hash((image_id, input_data)) & 0xFFFFFFFF:x}"
-        self.api.upload_image(image_id, pickle.dumps(image))
+        self.api.upload_image(image_id, serde.dump_image(image))
         self.api.upload_input(input_id, input_data)
         return image_id, input_id
 

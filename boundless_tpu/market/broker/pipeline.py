@@ -234,7 +234,8 @@ class Broker:
 
     # -- helpers --------------------------------------------------------
     def _fetch_assets(self, request: ProofRequest):
-        import pickle
+        # requestor-controlled bytes: safe wire format only (never pickle)
+        from ...utils import serde
 
         data = self.storage.download(request.image_url)
-        return pickle.loads(data), request.input_data
+        return serde.load_image(data), request.input_data

@@ -44,9 +44,11 @@ class StorageLayer:
         self.provider = provider
 
     def apply(self, ctx: BuilderCtx):
+        from ..utils import serde
+
         ctx.image_id = ctx.image.image_id().hex()
         ctx.image_url = self.provider.upload(
-            f"elfs/{ctx.image_id}", pickle.dumps(ctx.image))
+            f"elfs/{ctx.image_id}", serde.dump_image(ctx.image))
 
 
 class PreflightLayer:

@@ -5,6 +5,8 @@ The TPU-native analogue of the reference's bento smoke test
 """
 
 import pickle
+
+from boundless_tpu.utils import serde
 import time
 
 import pytest
@@ -29,7 +31,7 @@ def test_execute_only_session():
     """Preflight-as-a-service path (reference executor crate role)."""
     ctx = make_ctx()
     api = ClusterApi(ctx)
-    api.upload_image("echo", pickle.dumps(guests.echo()))
+    api.upload_image("echo", serde.dump_image(guests.echo()))
     api.upload_input("in0", guests.words([1, 42]))
     job = api.create_session(dict(img="echo", input="in0",
                                   execute_only=True))["uuid"]
@@ -74,7 +76,7 @@ def test_full_proving_session_over_http():
 def test_failed_guest_reports_failure():
     ctx = make_ctx()
     api = ClusterApi(ctx)
-    api.upload_image("bad", pickle.dumps(guests.build(".word 0xffffffff")))
+    api.upload_image("bad", serde.dump_image(guests.build(".word 0xffffffff")))
     api.upload_input("empty", b"")
     job = api.create_session(dict(img="bad", input="empty"))["uuid"]
     threads, agents = run_workers(ctx, {"exec": 1}, idle_timeout=0.3)
