@@ -30,7 +30,7 @@ from boundless_tpu.prover import stark  # noqa: E402
 from boundless_tpu.zkvm import guests, witness, prove  # noqa: E402
 from boundless_tpu.zkvm.executor import Executor  # noqa: E402
 
-PO2 = int(os.environ.get("BENCH_PO2", "16"))
+PO2 = int(os.environ.get("BENCH_PO2", "17"))
 PS = stark.ProofSystem(queries=50, fri_min_degree=256)
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
