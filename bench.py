@@ -33,6 +33,7 @@ from boundless_tpu.zkvm.executor import Executor  # noqa: E402
 PO2 = int(os.environ.get("BENCH_PO2", "17"))
 PS = stark.ProofSystem(queries=50, fri_min_degree=256)
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # vmap'd segments per call
 
 
 def main():
@@ -47,19 +48,33 @@ def main():
     data = F.fp(w.data)
     ctrl, _ = prove._image_ctrl(image, PO2)
     pub = witness.to_public_values(w.pub)
-    prover = stark.make_prover(prove._AIR, PO2, PS)
+
+    if BATCH > 1:
+        # Aggregate throughput: vmap over independent segments (the
+        # cluster's P1 axis on one chip).
+        import jax.numpy as jnp
+
+        data_b = jnp.broadcast_to(data[None], (BATCH,) + data.shape)
+        pub_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape), pub)
+        prover = jax.jit(lambda d, p, c: jax.vmap(
+            lambda dd, pp: stark.prove(prove._AIR, dd, pp, PO2, PS, c)
+        )(d, p))
+        run = lambda: prover(data_b, pub_b, ctrl)
+    else:
+        prover = stark.make_prover(prove._AIR, PO2, PS)
+        run = lambda: prover(data, pub, ctrl)
 
     # compile + warmup
-    proof = prover(data, pub, ctrl)
-    jax.block_until_ready(proof)
+    jax.block_until_ready(run())
 
     t0 = time.time()
     for _ in range(REPS):
-        proof = prover(data, pub, ctrl)
+        proof = run()
         jax.block_until_ready(proof)
     elapsed = (time.time() - t0) / REPS
 
-    cycles = seg.cycles
+    cycles = seg.cycles * BATCH
     effective_khz = cycles / elapsed / 1000.0
     mcycles_per_sec = cycles / elapsed / 1e6
     print(json.dumps({
