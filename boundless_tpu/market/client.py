@@ -53,11 +53,22 @@ class StorageLayer:
 
 class PreflightLayer:
     """Execute-only dry run for the cycle count + journal
-    (reference preflight_layer.rs:37)."""
+    (reference preflight_layer.rs:37). Uses the native C++ interpreter
+    (~100x the Python executor) with a Python fallback."""
 
     def apply(self, ctx: BuilderCtx):
-        ex = Executor(ctx.image, ctx.input_data)
-        res = ex.run()
+        from ..zkvm.executor import GuestFault, fast_execute
+
+        try:
+            cycles, _, journal = fast_execute(ctx.image, ctx.input_data)
+            ctx.cycles = cycles
+            ctx.journal = journal
+            return
+        except GuestFault:
+            raise
+        except Exception:  # lib build/load issues: fall back to Python
+            pass
+        res = Executor(ctx.image, ctx.input_data).run()
         ctx.cycles = res.total_cycles
         ctx.journal = res.journal
 

@@ -51,3 +51,7 @@ def load(name: str, sources):
 
 def witness_lib():
     return load("bt_witness", ["witness_gen.cpp"])
+
+
+def executor_lib():
+    return load("bt_executor", ["executor.cpp"])

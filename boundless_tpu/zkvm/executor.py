@@ -147,6 +147,46 @@ def _signed(v):
     return v - (1 << 32) if v & 0x80000000 else v
 
 
+def fast_execute(image: "MemoryImage", input_bytes: bytes = b"",
+                 max_cycles: int = 1 << 36):
+    """Native exec-only run (C++ full-RV32IM interpreter): the preflight
+    hot path (reference PreflightLayer / pricing). Returns
+    (total_cycles, exit_code, journal_bytes). Faults raise GuestFault.
+    """
+    import ctypes
+
+    from .. import native
+
+    lib = native.executor_lib()
+    items = sorted(image.words.items())
+    addrs = np.array([a for a, _ in items], dtype=np.uint32)
+    words_arr = np.array([w for _, w in items], dtype=np.uint32)
+    inputs = np.array(
+        [int.from_bytes(input_bytes[i : i + 4].ljust(4, b"\0"), "little")
+         for i in range(0, len(input_bytes), 4)], dtype=np.uint32)
+    journal_cap = 1 << 20
+    journal = np.zeros(journal_cap, dtype=np.uint32)
+    total = np.zeros(1, dtype=np.uint64)
+    exit_code = np.zeros(1, dtype=np.int32)
+    jlen = np.zeros(1, dtype=np.int32)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.bt_execute(
+        addrs.ctypes.data_as(ctypes.c_void_p),
+        words_arr.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len(items)), ctypes.c_uint32(image.entry),
+        inputs.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(len(inputs)),
+        ctypes.c_uint64(max_cycles),
+        total.ctypes.data_as(ctypes.c_void_p),
+        exit_code.ctypes.data_as(ctypes.c_void_p),
+        journal.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(journal_cap),
+        jlen.ctypes.data_as(ctypes.c_void_p), err, ctypes.c_int(256))
+    if rc != 0:
+        raise GuestFault(err.value.decode() or "native execution failed")
+    journal_bytes = b"".join(int(w).to_bytes(4, "little")
+                             for w in journal[: int(jlen[0])])
+    return int(total[0]), int(exit_code[0]), journal_bytes
+
+
 class Executor:
     """Functional rv32im interpreter with continuation segmentation."""
 

@@ -80,3 +80,43 @@ def test_native_faults_match():
                   is_final=True, image_id=img.image_id())
     with pytest.raises(GuestFault):
         witness.trace_segment_native(img, seg, PO2)
+
+
+def test_fast_execute_parity_and_speed():
+    """C++ exec-only interpreter matches the Python executor exactly."""
+    import time
+
+    from boundless_tpu.zkvm.executor import fast_execute
+
+    cases = [
+        (guests.echo(), guests.words([3, 5, 6, 7])),
+        (guests.loop_guest(), guests.words([5000])),
+        (guests.muldiv(), guests.words([0xDEADBEEF, 12345])),
+        (guests.memtest(), guests.words([3, 9, 8, 7])),
+        (guests.keccak_guest(), b""),
+    ]
+    for image, inp in cases:
+        res = Executor(image, inp).run()
+        cycles, code, journal = fast_execute(image, inp)
+        assert cycles == res.total_cycles
+        assert code == res.exit_code
+        assert journal == res.journal
+    # speed: native should be >30x python on a big loop
+    image, inp = guests.loop_guest(), guests.words([400_000])
+    t0 = time.time()
+    cycles, _, _ = fast_execute(image, inp)
+    native_dt = time.time() - t0
+    assert cycles > 800_000
+    assert native_dt < 1.0, f"native exec too slow: {native_dt}s"
+
+
+def test_fast_execute_faults():
+    from boundless_tpu.zkvm.executor import fast_execute
+
+    with pytest.raises(GuestFault):
+        fast_execute(guests.build(".word 0xffffffff"))
+    with pytest.raises(GuestFault):
+        fast_execute(guests.echo(), b"")  # read past end of input
+    with pytest.raises(GuestFault):
+        fast_execute(guests.loop_guest(), guests.words([10**9]),
+                     max_cycles=1000)
