@@ -39,6 +39,9 @@ class BrokerConfig:
     max_concurrent_proofs: int = 2
     max_collateral: int = 1_000_000
     lock_orders: bool = True
+    # priority requestors skip the min-price gate (reference
+    # broker-template.toml:75 priority lists + RequestorMonitor)
+    priority_requestors: tuple = ()
 
 
 class OrderStatus:
@@ -73,7 +76,8 @@ class Broker:
 
     def __init__(self, chain: MarketChain, prover, address: str,
                  config: BrokerConfig = BrokerConfig(),
-                 storage=None, order_stream=None, clock=time.time):
+                 storage=None, order_stream=None, clock=time.time,
+                 order_db=None):
         self.chain = chain
         self.prover = prover
         self.address = address
@@ -81,7 +85,10 @@ class Broker:
         self.storage = storage
         self.order_stream = order_stream
         self.clock = clock
+        self.order_db = order_db  # optional OrderDb for restart resume
         self.orders: dict = {}  # request_id -> Order (sqlite in reference)
+        if order_db is not None:
+            self.orders.update(order_db.load_all())
         self._evaluate_q: queue.Queue = queue.Queue()
         self._commit_q: queue.Queue = queue.Queue()
         self._prove_q: queue.Queue = queue.Queue()
@@ -93,8 +100,19 @@ class Broker:
             config.max_concurrent_preflights)
         self._prove_sem = threading.Semaphore(config.max_concurrent_proofs)
 
+    def _persist(self, rid):
+        if self.order_db is not None:
+            self.order_db.upsert(rid, self.orders[rid])
+
     # -- lifecycle ------------------------------------------------------
     def start(self):
+        # resume in-flight orders from a previous run (SURVEY §5.4)
+        for rid, order in list(self.orders.items()):
+            if order.status in (OrderStatus.NEW, OrderStatus.PRICING):
+                self._evaluate_q.put(rid)
+            elif order.status in (OrderStatus.COMMITTED, OrderStatus.LOCKED,
+                                  OrderStatus.PROVING):
+                self._prove_q.put(rid)
         if self.order_stream is not None:
             self.order_stream.subscribe(
                 lambda req, sig: self._ingest(req))
@@ -123,6 +141,7 @@ class Broker:
         rid = request.id.encoded()
         if rid not in self.orders:
             self.orders[rid] = Order(request=request)
+            self._persist(rid)
             self._evaluate_q.put(rid)
 
     def _chain_monitor(self):
@@ -151,9 +170,13 @@ class Broker:
                 order.cycles = cycles
                 mcycles = max(1, cycles // 1_000_000)
                 price = self.chain.price_request(rid)
-                if price < mcycles * self.config.min_mcycle_price:
+                priority = (order.request.id.client
+                            in self.config.priority_requestors)
+                if not priority and \
+                        price < mcycles * self.config.min_mcycle_price:
                     order.status = OrderStatus.SKIPPED
                     order.error = "price below min_mcycle_price"
+                    self._persist(rid)
                     continue
                 # deadline feasibility (reference service.rs:2300-2376 model)
                 secs_left = order.request.offer.expires_at() - self.clock()
@@ -161,9 +184,11 @@ class Broker:
                 if cycles > provable:
                     order.status = OrderStatus.SKIPPED
                     order.error = "deadline infeasible for peak_prove_khz"
+                    self._persist(rid)
                     continue
                 order.price = price
                 order.status = OrderStatus.COMMITTED
+                self._persist(rid)
                 self._commit_q.put(rid)
             except Exception as e:  # noqa: BLE001
                 order.status = OrderStatus.FAILED
@@ -181,6 +206,7 @@ class Broker:
                 if self.config.lock_orders:
                     self.chain.lock_request(rid, self.address)
                     order.status = OrderStatus.LOCKED
+                    self._persist(rid)
                 self._prove_q.put(rid)
             except Exception as e:  # noqa: BLE001
                 order.status = OrderStatus.SKIPPED
@@ -216,6 +242,7 @@ class Broker:
                     request_id=order.request.id, journal=journal,
                     claim_digest=claim, seal=seal, prover=self.address)])
                 order.status = OrderStatus.FULFILLED
+                self._persist(rid)
             except Exception as e:  # noqa: BLE001
                 order.status = OrderStatus.FAILED
                 order.error = f"submit: {e}"

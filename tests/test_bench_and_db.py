@@ -80,3 +80,58 @@ def test_deployments_registry():
     custom = deployments.get("local", market_address="market:custom")
     assert custom.market_address == "market:custom"
     assert deployments.get("local").market_address == "market:local"
+
+
+def test_broker_resume_from_order_db():
+    """A restarted broker resumes committed orders from its DB."""
+    import time as _t
+
+    chain = MarketChain(lambda f, r: f.seal.get("dev_mode"))
+    chain.create_account("alice", b"a", funds=10**9)
+    chain.create_account("p1", b"p", funds=10**7)
+    chain.deposit_collateral("p1", 10**6)
+    provider = LocalStorageProvider(SharedFs())
+    client = Client(chain, "alice", b"a", storage_provider=provider)
+    db = OrderDb()
+
+    # "first run": ingest + commit an order, then crash before proving
+    req = client.build_request(guests.echo(), guests.words([1, 9]))
+    rid = client.submit_onchain(req)
+    db.upsert(rid, Order(request=req, status=OrderStatus.COMMITTED, price=5))
+
+    broker = Broker(chain, QuickProver(), "p1",
+                    BrokerConfig(min_mcycle_price=0), storage=provider,
+                    order_db=db)
+    assert rid in broker.orders  # loaded from DB
+    broker.start()
+    try:
+        deadline = _t.time() + 20
+        while _t.time() < deadline:
+            if broker.orders[rid].status == OrderStatus.FULFILLED:
+                break
+            _t.sleep(0.05)
+        assert broker.orders[rid].status == OrderStatus.FULFILLED
+        assert chain.request_status(rid) == "fulfilled"
+    finally:
+        broker.stop()
+
+
+def test_priority_requestor_skips_price_gate():
+    chain = MarketChain(lambda f, r: f.seal.get("dev_mode"))
+    chain.create_account("vip", b"v", funds=10**9)
+    chain.create_account("p1", b"p", funds=10**7)
+    chain.deposit_collateral("p1", 10**6)
+    provider = LocalStorageProvider(SharedFs())
+    client = Client(chain, "vip", b"v", storage_provider=provider)
+    broker = Broker(chain, QuickProver(), "p1",
+                    BrokerConfig(min_mcycle_price=10**12,
+                                 priority_requestors=("vip",)),
+                    storage=provider)
+    broker.start()
+    try:
+        req = client.build_request(guests.echo(), guests.words([0]))
+        rid = client.submit_onchain(req)
+        journal, _ = client.wait_for_fulfillment(rid, timeout=20)
+        assert journal == b""
+    finally:
+        broker.stop()
