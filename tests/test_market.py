@@ -164,3 +164,33 @@ def test_order_stream_offchain(world):
     # unauthenticated submit rejected
     with pytest.raises(PermissionError):
         stream.submit(req, b"bad")
+
+
+def test_order_stream_http_roundtrip(world):
+    import urllib.error
+
+    from boundless_tpu.market.order_stream_http import (
+        OrderStreamClient, make_order_stream_server, request_from_json,
+        request_to_json)
+    from boundless_tpu.market.types import sign_request
+
+    chain, client, provider = world
+    stream = OrderStream(chain.account_keys)
+    server, thread = make_order_stream_server(stream)
+    thread.start()
+    try:
+        osc = OrderStreamClient(
+            f"http://127.0.0.1:{server.server_address[1]}")
+        req = client.build_request(guests.echo(), guests.words([1, 5]))
+        # codec roundtrip fidelity
+        assert request_from_json(request_to_json(req)) == req
+        osc.submit(req, sign_request(req, b"alice-secret"))
+        orders = osc.orders_since(0)
+        assert len(orders) == 1 and orders[0][0].id == req.id
+        osc.heartbeat("prover-x")
+        assert "prover-x" in stream.heartbeats
+        # bad signature -> 403
+        with pytest.raises(urllib.error.HTTPError):
+            osc.submit(req, b"\x00" * 32)
+    finally:
+        server.shutdown()
