@@ -133,3 +133,30 @@ def _partial_carry(acc):
 def mul(a, b):
     """Plain modular product of Montgomery-form operands."""
     return mont_mul(a, b)
+
+
+def is_zero(a):
+    """(...,) bool: all limbs zero."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def neg(a):
+    """(-a) mod N on normalized limbs."""
+    outs = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
+    for i in range(L):
+        v = N_LIMBS[i].astype(jnp.int32) - a[..., i].astype(jnp.int32) - borrow
+        nb = (v < 0).astype(jnp.int32)
+        outs.append((v + nb * (1 << B)).astype(jnp.uint32))
+        borrow = nb
+    out = jnp.stack(outs, axis=-1)
+    return jnp.where(is_zero(a)[..., None], a, out)
+
+
+def sub(a, b):
+    """(a - b) mod N."""
+    return add(a, neg(b))
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
