@@ -76,18 +76,33 @@ def cmd_cluster_serve(args):
     from .cluster.hotstore import HotStore
     from .cluster.storage import SharedFs
     from .cluster.taskdb import MemoryBackend
+    from .prover import stark
     from .zkvm import prove
 
-    ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(),
-                         store=SharedFs(args.storage),
-                         segment_po2=args.po2)
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    pools = cfg.get("workers", {"exec": args.exec_workers,
+                                "prove": args.prove_workers,
+                                "join": 1, "aux": 1, "snark": 1})
+    ps_cfg = cfg.get("proof_system", {})
+    ps = stark.ProofSystem(
+        queries=int(ps_cfg.get("queries", 50)),
+        fri_min_degree=int(ps_cfg.get("fri_min_degree", 256)))
+    ctx = ClusterContext(
+        db=MemoryBackend(),
+        hot=HotStore(float(cfg.get("hot_store_ttl_secs", 28800))),
+        store=SharedFs(cfg.get("storage_root") or args.storage),
+        ps=ps,
+        segment_po2=int(cfg.get("segment_po2", args.po2)))
     api = ClusterApi(ctx)
-    server, thread = make_http_server(api, port=args.port)
+    port = int(cfg.get("api", {}).get("port", args.port))
+    server, thread = make_http_server(api, port=port)
     thread.start()
-    run_workers(ctx, {"exec": args.exec_workers, "prove": args.prove_workers,
-                      "join": 1, "aux": 1, "snark": 1})
+    run_workers(ctx, pools)
     print(f"cluster API on http://127.0.0.1:{server.server_address[1]} "
-          f"(storage: {ctx.store.root})")
+          f"(storage: {ctx.store.root}, pools: {pools})")
     try:
         while True:
             time.sleep(1)
@@ -126,6 +141,8 @@ def main(argv=None):
     sv.add_argument("--exec-workers", type=int, default=2)
     sv.add_argument("--prove-workers", type=int, default=1)
     sv.add_argument("--storage", default=None)
+    sv.add_argument("--config", default=None,
+                    help="deploy descriptor (deploy/cluster.json)")
     sv.set_defaults(fn=cmd_cluster_serve)
 
     requestor = sub.add_parser("requestor").add_subparsers(dest="cmd",
