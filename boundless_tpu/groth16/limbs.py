@@ -103,23 +103,31 @@ def _cond_sub_n(x):
 def mont_mul(a, b):
     """Montgomery product (a * b * R^{-1} mod N) on (..., L) uint32 limbs.
 
-    CIOS: interleave one schoolbook row with one reduction limb per step.
+    CIOS: one schoolbook row + one reduction limb per step, as a lax.scan
+    over a's limbs (O(1) traced graph per multiply — compile-latency
+    discipline; see core/field.py docstring for why that matters here).
     """
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(batch + (L + 1,), dtype=jnp.uint32)
+    a = jnp.broadcast_to(a, batch + (L,))
+    b = jnp.broadcast_to(b, batch + (L,))
+    acc0 = jnp.zeros(batch + (L + 1,), dtype=jnp.uint32)
     np_c = jnp.uint32(NPRIME)
-    for i in range(L):
-        ai = a[..., i : i + 1]
-        acc = acc.at[..., :L].add(ai * b)  # partials < 2^26; sums < 2^31
+    a_limbs = jnp.moveaxis(a, -1, 0)  # (L, ...batch)
+
+    def step(acc, ai):
+        acc = acc.at[..., :L].add(ai[..., None] * b)  # sums < 2^31
         acc = _partial_carry(acc)
         m = (acc[..., 0] * np_c) & MASK
         acc = acc.at[..., :L].add(m[..., None] * N_LIMBS)
         acc = _partial_carry(acc)
-        # shift right one limb (divide by 2^B; low limb is now zero mod 2^B)
+        # shift right one limb (divide by 2^B; low limb now zero mod 2^B)
         low_carry = acc[..., 0] >> B
         acc = jnp.concatenate(
             [acc[..., 1:], jnp.zeros_like(acc[..., :1])], axis=-1)
         acc = acc.at[..., 0].add(low_carry)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, a_limbs)
     res = _carry_propagate(acc[..., :L])
     return _cond_sub_n(res)
 
