@@ -64,9 +64,26 @@ class Agent:
 
     # ------------------------------------------------------------------
     def poll_work(self, idle_timeout: Optional[float] = None):
-        """Poll until stopped (or idle for idle_timeout seconds)."""
+        """Poll until stopped (or idle for idle_timeout seconds).
+
+        Aux workers additionally run the maintenance crons (reference
+        lib.rs:531-605: requeue expired leases, fix stuck-pending tasks,
+        purge expired hot-store keys).
+        """
         idle_since = time.time()
+        last_maint = 0.0
         while not self._stop.is_set():
+            if self.stream == "aux" and time.time() - last_maint > 1.0:
+                last_maint = time.time()
+                from . import metrics as M
+
+                n = self.ctx.db.requeue_expired()
+                if n:
+                    M.REGISTRY.counter("tasks_requeued_total").inc(n)
+                stuck = self.ctx.db.fix_stuck_pending()
+                if stuck:
+                    M.REGISTRY.counter("tasks_stuck_fixed_total").inc(stuck)
+                self.ctx.hot.purge_expired()
             task = self.ctx.db.request_work(self.stream, self.worker_id,
                                             timeout=0.2)
             if task is None:

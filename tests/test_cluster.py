@@ -149,3 +149,30 @@ def test_stuck_pending_fixer():
     init = db.request_work("exec")
     got = db.request_work("join")
     assert got.task_id == "b"
+
+
+def test_aux_agent_runs_maintenance_crons():
+    """Aux workers requeue expired leases (reference requeue cron)."""
+    import threading
+
+    from boundless_tpu.cluster.agent import Agent, ClusterContext
+    from boundless_tpu.cluster.hotstore import HotStore
+    from boundless_tpu.cluster.storage import SharedFs
+
+    db = MemoryBackend()
+    ctx = ClusterContext(db=db, hot=HotStore(ttl=0.01), store=SharedFs())
+    job = db.create_job("prove", {"kind": "x"}, timeout_secs=0.01)
+    t = db.request_work("prove")  # lease it, then "die"
+    ctx.hot.set("ephemeral", 1)
+    aux = Agent(ctx, "aux")
+    th = threading.Thread(target=aux.poll_work, args=(2.5,), daemon=True)
+    th.start()
+    deadline = time.time() + 5
+    got = None
+    while time.time() < deadline:
+        got = db.request_work("prove", timeout=0.1)
+        if got is not None:
+            break
+    aux.stop()
+    assert got is not None and got.task_id == t.task_id  # requeued
+    assert ctx.hot.get("ephemeral") is None  # TTL purged
