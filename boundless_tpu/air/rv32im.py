@@ -106,9 +106,23 @@ class DataCols:
         self.s_dbits = a.get(26)
         self.mult_fetch = a.get()
         self.mult_init = a.get()
-        # pad to 384 = 3*128: TPU lane-friendly width, and divisible by
-        # every practical tp mesh size (unconstrained zero columns).
-        self.pad = a.get(384 - a.n)
+        # --- M extension (unsigned: MUL/MULHU/DIVU/REMU) ---
+        # product machinery: 8x8-bit byte partial products with carry
+        # chain (sums < 2^18 < p, so the integer identity never wraps)
+        self.is_m = a.get()  # decoded M-extension flag (fetch-bound)
+        self.is_shift_col = a.get()  # == is_alu*(1-is_m)*(f3_1+f3_5)
+        self.is_slt_col = a.get()  # == is_alu*(1-is_m)*(f3_2+f3_3)
+        self.m_hi_bits = a.get(32)  # product high word bits
+        self.m_carry_bits = a.get(77)  # 7 carries x 11 bits
+        self.m_rem_bits = a.get(32)  # divu/remu remainder bits
+        self.m_d_bits = a.get(32)  # witness for r < b (r + d + 1 = b)
+        self.m_ca0 = a.get()  # qb+r=a carry limb0
+        self.m_ca1 = a.get()  # qb+r=a carry limb1
+        self.m_cb = a.get()  # r+d+1=b carry
+        self.m_bzero = a.get()  # divisor-is-zero flag
+        self.m_binv = a.get()  # inverse witness for (b0+b1)
+        # pad to 576 (div by 8 for tp sharding; unconstrained zero cols)
+        self.pad = a.get(576 - a.n)
         self.total = a.n
 
 
@@ -131,6 +145,8 @@ class CtrlCols:
         self.t_rd = a.get()
         self.t_rs1 = a.get()
         self.t_rs2 = a.get()
+        self.t_mext = a.get()  # instruction is an M-extension op (f7 bit 0)
+        self.pad = a.get(40 - a.n)  # pad for tp-mesh divisibility
         self.total = a.n
 
 
@@ -223,17 +239,19 @@ def _ports(alg, row, gamma, dpows):
                          for i in range(32)], dtype=np.int64))
 
     # exec fetch pack: [pc, sel10, f3sel8, alt, imm_lo, imm_hi, imm_field,
-    #                   rd, rs1, rs2]
+    #                   rd, rs1, rs2, is_m]
     fetch_comps = alg.gconcat([
         alg.stack([pc]), sel_blk, d.datab(DC.f3),
         alg.stack([d.data(DC.alt), d.data(DC.imm_lo), d.data(DC.imm_hi),
                    d.data(DC.imm_field), idx_of(DC.rd_oh),
-                   idx_of(DC.rs1_oh), idx_of(DC.rs2_oh)])])
+                   idx_of(DC.rs1_oh), idx_of(DC.rs2_oh),
+                   d.data(DC.is_m)])])
     tbl_comps = alg.gconcat([
         alg.stack([d.ctrl(CC.t_pc)]), d.ctrlb(CC.t_sel), d.ctrlb(CC.t_f3),
         alg.stack([d.ctrl(CC.t_alt), d.ctrl(CC.t_imm_lo),
                    d.ctrl(CC.t_imm_hi), d.ctrl(CC.t_imm_field),
-                   d.ctrl(CC.t_rd), d.ctrl(CC.t_rs1), d.ctrl(CC.t_rs2)])])
+                   d.ctrl(CC.t_rd), d.ctrl(CC.t_rs1), d.ctrl(CC.t_rs2),
+                   d.ctrl(CC.t_mext)])])
 
     def reg(kk, limb):
         return d.data(DC.regs.start + 2 * kk + limb)
@@ -432,7 +450,14 @@ class Rv32imAir(dsl.Air):
                      + list(range(DC.k.start, DC.k.stop))
                      + [DC.active, DC.halted, DC.s_active, DC.s_is_write,
                         DC.s_new]
-                     + list(range(DC.s_dbits.start, DC.s_dbits.stop)))
+                     + list(range(DC.s_dbits.start, DC.s_dbits.stop))
+                     + [DC.is_m, DC.is_shift_col, DC.is_slt_col,
+                        DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero]
+                     + list(range(DC.m_hi_bits.start, DC.m_hi_bits.stop))
+                     + list(range(DC.m_carry_bits.start,
+                                  DC.m_carry_bits.stop))
+                     + list(range(DC.m_rem_bits.start, DC.m_rem_bits.stop))
+                     + list(range(DC.m_d_bits.start, DC.m_d_bits.stop)))
         bools = d.datab(bool_cols)
         ones_g = alg.gconst(np.ones(len(bool_cols), dtype=np.int64))
         c.append(VecVal(gm(bools, gs(bools, ones_g))))
@@ -479,20 +504,27 @@ class Rv32imAir(dsl.Air):
                         dtype=np.int64)
         W_HI26 = np.array([1 << (i - 16) if 16 <= i < 26 else 0
                            for i in range(32)], dtype=np.int64)
-        bind_ab = dsum([is_alui, is_alur, is_br])
-        c.append(m(bind_ab, sub(rs1v[0], alg.gweighted(a_blk, W_LO))))
-        c.append(m(bind_ab, sub(rs1v[1], alg.gweighted(a_blk, W_HI))))
-        c.append(m(bind_ab, sub(op2[0], alg.gweighted(b_blk, W_LO))))
-        c.append(m(bind_ab, sub(op2[1], alg.gweighted(b_blk, W_HI))))
+        is_m = d.data(DC.is_m)
+        is_alu = add(is_alui, is_alur)
+        alu_nm = m(is_alu, sub(one, is_m))  # non-M alu rows
+        is_mdiv = m(is_m, add(f3[5], f3[7]))
+        # a-bits bind rs1v except on divu/remu rows (there they carry the
+        # quotient witness); b-bits always bind op2.
+        bind_a = add(add(is_alui, is_br), m(is_alur, sub(one, is_mdiv)))
+        bind_b = dsum([is_alui, is_alur, is_br])
+        c.append(m(bind_a, sub(rs1v[0], alg.gweighted(a_blk, W_LO))))
+        c.append(m(bind_a, sub(rs1v[1], alg.gweighted(a_blk, W_HI))))
+        c.append(m(bind_b, sub(op2[0], alg.gweighted(b_blk, W_LO))))
+        c.append(m(bind_b, sub(op2[1], alg.gweighted(b_blk, W_HI))))
         RL = alg.gweighted(r_blk, W_LO)
         RH = alg.gweighted(r_blk, W_HI)
 
         # ---- shared adder ----
         c0b, c1b = d.data(DC.c0), d.data(DC.c1)
-        is_alu = add(is_alui, is_alur)
-        is_addm = add(m(is_alu, m(f3[0], sub(one, alt))),
+        is_addm = add(m(alu_nm, m(f3[0], sub(one, alt))),
                       dsum([is_load, is_store, is_jalr]))
-        is_subm = add(m(is_alu, add(m(f3[0], alt), add(f3[2], f3[3]))), is_br)
+        is_subm = add(m(alu_nm, add(m(f3[0], alt), add(f3[2], f3[3]))),
+                      is_br)
         c16 = alg.const(1 << 16)
         c.append(m(is_addm, sub(add(rs1v[0], op2[0]), add(RL, m(c0b, c16)))))
         c.append(m(is_addm, sub(add(add(rs1v[1], op2[1]), c0b),
@@ -502,7 +534,7 @@ class Rv32imAir(dsl.Air):
                                 add(rs1v[1], m(c1b, c16)))))
 
         # ---- logic ops (grouped over 32 bits) ----
-        is_logic = m(is_alu, dsum([f3[4], f3[6], f3[7]]))
+        is_logic = m(alu_nm, dsum([f3[4], f3[6], f3[7]]))
         ab = gm(a_blk, b_blk)
         apb = ga(a_blk, b_blk)
         x_xor = gs(apb, ga(ab, ab))
@@ -512,10 +544,13 @@ class Rv32imAir(dsl.Air):
         c.append(VecVal(gm(B(is_logic), gs(r_blk, expect))))
 
         # ---- shifts (barrel: 32 grouped shifted accumulations) ----
-        is_sll = m(is_alu, f3[1])
-        is_srl = m(is_alu, m(f3[5], sub(one, alt)))
-        is_sra = m(is_alu, m(f3[5], alt))
-        is_shift = add(is_sll, add(is_srl, is_sra))
+        # is_shift_col is a committed bool == alu_nm*(f3_1 + f3_5) so the
+        # per-bit shift constraints stay within the degree-5 budget.
+        is_shift = d.data(DC.is_shift_col)
+        c.append(sub(is_shift, m(alu_nm, add(f3[1], f3[5]))))
+        is_sll = m(is_shift, f3[1])
+        is_srl = m(is_shift, m(f3[5], sub(one, alt)))
+        is_sra = m(is_shift, m(f3[5], alt))
         shamt = alg.gweighted(b_blk, np.array(
             [1 << i if i < 5 else 0 for i in range(32)], dtype=np.int64))
         sh_idx = alg.gweighted(sh_blk, np.arange(32))
@@ -554,11 +589,13 @@ class Rv32imAir(dsl.Air):
             m(f3[6], lt_u), m(f3[7], sub(one, lt_u))]))))
 
         # ---- rdv definitions ----
-        alu_arith = m(is_alu, dsum([f3[0], f3[1], f3[4], f3[5], f3[6], f3[7]]))
-        slt_sel = m(is_alu, add(f3[2], f3[3]))
+        alu_arith = m(alu_nm, dsum([f3[0], f3[1], f3[4], f3[5], f3[6],
+                                    f3[7]]))
+        slt_sel = d.data(DC.is_slt_col)  # committed bool (degree budget)
+        c.append(sub(slt_sel, m(alu_nm, add(f3[2], f3[3]))))
         c.append(m(alu_arith, sub(rdv[0], RL)))
         c.append(m(alu_arith, sub(rdv[1], RH)))
-        slt_val = add(m(m(is_alu, f3[2]), lt_s), m(m(is_alu, f3[3]), lt_u))
+        slt_val = add(m(f3[2], lt_s), m(f3[3], lt_u))
         c.append(m(slt_sel, sub(rdv[0], slt_val)))
         c.append(m(slt_sel, rdv[1]))
         c.append(m(is_lui, sub(rdv[0], imm_lo)))
@@ -578,6 +615,83 @@ class Rv32imAir(dsl.Air):
         hi_mask = np.array([1 if i >= 26 else 0 for i in range(32)],
                            dtype=np.int64)
         c.append(VecVal(gm(B(is_jalr), gm(b_blk, alg.gconst(hi_mask)))))
+
+        # ---- M extension (unsigned MUL/MULHU/DIVU/REMU) ----
+        # signed variants are not provable in v1 (executor-only):
+        c.append(m(is_m, dsum([f3[1], f3[2], f3[4], f3[6]])))
+        # 8x8-bit byte products with an 11-bit carry chain: every column
+        # sum < 2^18 < p, so the integer identity cannot wrap mod p.
+        hi_blk = d.datab(DC.m_hi_bits)
+
+        def byte_of(blk, j):
+            w = np.zeros(32, dtype=np.int64)
+            w[8 * j : 8 * j + 8] = [1 << i for i in range(8)]
+            return alg.gweighted(blk, w)
+
+        A = [byte_of(a_blk, j) for j in range(4)]
+        Bb = [byte_of(b_blk, j) for j in range(4)]
+        Rb = ([byte_of(r_blk, j) for j in range(4)]
+              + [byte_of(hi_blk, j) for j in range(4)])
+        carry_blk = d.datab(DC.m_carry_bits)
+
+        def carry_of(k):  # k in 1..7
+            w = np.zeros(77, dtype=np.int64)
+            w[11 * (k - 1) : 11 * k] = [1 << i for i in range(11)]
+            return alg.gweighted(carry_blk, w)
+
+        carries = [alg.zero()] + [carry_of(k) for k in range(1, 8)]
+        c256 = alg.const(256)
+        for k in range(7):
+            ck = dsum([m(A[i], Bb[k - i])
+                       for i in range(max(0, k - 3), min(4, k + 1))])
+            c.append(m(is_m, sub(add(ck, carries[k]),
+                                 add(Rb[k], m(c256, carries[k + 1])))))
+        c.append(m(is_m, sub(carries[7], Rb[7])))
+        # MUL (lo) / MULHU (hi) results
+        HL = alg.gweighted(hi_blk, W_LO)
+        HH = alg.gweighted(hi_blk, W_HI)
+        c.append(m(m(is_m, f3[0]), sub(rdv[0], RL)))
+        c.append(m(m(is_m, f3[0]), sub(rdv[1], RH)))
+        c.append(m(m(is_m, f3[3]), sub(rdv[0], HL)))
+        c.append(m(m(is_m, f3[3]), sub(rdv[1], HH)))
+        # DIVU/REMU: a_bits carry the quotient q; the product machinery
+        # gives q*b in (r_bits, hi_bits); identity q*b + r == a, r < b.
+        rem_blk = d.datab(DC.m_rem_bits)
+        RemL = alg.gweighted(rem_blk, W_LO)
+        RemH = alg.gweighted(rem_blk, W_HI)
+        ca0 = d.data(DC.m_ca0)
+        c.append(m(is_mdiv, sub(add(RL, RemL), add(rs1v[0], m(ca0, c16)))))
+        c.append(m(is_mdiv, sub(add(add(RH, RemH), ca0), rs1v[1])))
+        c.append(m(is_mdiv, HL))
+        c.append(m(is_mdiv, HH))
+        # divisor-zero flag via inverse gadget on (b0 + b1)
+        bzero = d.data(DC.m_bzero)
+        binv = d.data(DC.m_binv)
+        sB = add(op2[0], op2[1])
+        c.append(m(is_mdiv, m(bzero, sB)))
+        c.append(m(is_mdiv, sub(add(bzero, m(sB, binv)), one)))
+        # r < b (unless b == 0): r + d + 1 == b with 32-bit d
+        d_blk = d.datab(DC.m_d_bits)
+        DL_ = alg.gweighted(d_blk, W_LO)
+        DH_ = alg.gweighted(d_blk, W_HI)
+        cb = d.data(DC.m_cb)
+        nz = m(is_mdiv, sub(one, bzero))
+        c.append(m(nz, sub(add(add(RemL, DL_), one),
+                           add(op2[0], m(cb, c16)))))
+        c.append(m(nz, sub(add(add(RemH, DH_), cb), op2[1])))
+        # DIVU result: q, or 2^32-1 when b == 0 (RISC-V spec)
+        sel_divu = m(is_m, f3[5])
+        QL = alg.gweighted(a_blk, W_LO)
+        QH = alg.gweighted(a_blk, W_HI)
+        cFFFF = alg.const(0xFFFF)
+        c.append(m(sel_divu, sub(rdv[0], add(m(sub(one, bzero), QL),
+                                             m(bzero, cFFFF)))))
+        c.append(m(sel_divu, sub(rdv[1], add(m(sub(one, bzero), QH),
+                                             m(bzero, cFFFF)))))
+        # REMU result: r (covers b == 0, where the identity forces r == a)
+        sel_remu = m(is_m, f3[7])
+        c.append(m(sel_remu, sub(rdv[0], RemL)))
+        c.append(m(sel_remu, sub(rdv[1], RemH)))
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])

@@ -25,6 +25,8 @@ struct Layout {
   int32_t rd_oh, rs1_oh, rs2_oh, rs1v, rs2v, op2, rdv;
   int32_t a_bits, b_bits, r_bits, sh_oh, c0, c1, eq, z_inv, taken;
   int32_t k, commit_seq, read_seq, verify_seq, active, halted;
+  int32_t is_m, is_shift_col, is_slt_col, m_hi_bits, m_carry_bits;
+  int32_t m_rem_bits, m_d_bits, m_ca0, m_ca1, m_cb, m_bzero, m_binv;
 };
 
 uint64_t modpow(uint64_t b, uint64_t e, uint64_t m) {
@@ -48,6 +50,7 @@ struct Decoded {
   int sel[10] = {0};
   int f3 = 0;
   int alt = 0;
+  int mext = 0;
   uint32_t imm_lo = 0, imm_hi = 0;
   uint64_t imm_field = 0;
   int rd = 0, rs1 = 0, rs2 = 0;
@@ -128,6 +131,7 @@ Decoded decode(uint32_t word) {
     case 0b0110011:  // ALU-REG
       d.sel[8] = 1;
       d.alt = (word >> 30) & 1;
+      d.mext = (word >> 25) & 1;
       break;
     case 0b1110011:  // SYSTEM
       d.sel[9] = 1;
@@ -213,14 +217,18 @@ extern "C" int bt_trace_cycles(
     r[L.op2] = op2 & 0xFFFF;
     r[L.op2 + 1] = op2 >> 16;
 
+    bool is_m = d.sel[8] && d.mext;
+    bool is_mdiv = is_m && (d.f3 == 5 || d.f3 == 7);
+    r[L.is_m] = is_m ? 1 : 0;
     bool is_alu = d.sel[7] || d.sel[8];
+    r[L.is_shift_col] =
+        (is_alu && !is_m && (d.f3 == 1 || d.f3 == 5)) ? 1 : 0;
+    r[L.is_slt_col] = (is_alu && !is_m && (d.f3 == 2 || d.f3 == 3)) ? 1 : 0;
     bool bind_ab = is_alu || d.sel[4];
-    if (bind_ab) {
-      for (int i = 0; i < 32; i++) {
-        r[L.a_bits + i] = (rs1v >> i) & 1;
-        r[L.b_bits + i] = (op2 >> i) & 1;
-      }
-    }
+    if (bind_ab && !is_mdiv)
+      for (int i = 0; i < 32; i++) r[L.a_bits + i] = (rs1v >> i) & 1;
+    if (bind_ab)
+      for (int i = 0; i < 32; i++) r[L.b_bits + i] = (op2 >> i) & 1;
 
     uint32_t rdv = 0;
     uint32_t next_pc = pc + 4;
@@ -310,6 +318,54 @@ extern "C" int bt_trace_cycles(
         mem_ops_out[4 * n_ops + 2] = 1;
         mem_ops_out[4 * n_ops + 3] = rs2v;
         n_ops++;
+      }
+    } else if (is_m) {  // M extension (unsigned subset)
+      if (!(d.f3 == 0 || d.f3 == 3 || d.f3 == 5 || d.f3 == 7))
+        return fail(err, err_len, "signed mulh/div/rem not provable"), 1;
+      uint32_t q = 0, rem = 0, mul_a;
+      if (is_mdiv) {
+        if (op2 != 0) { q = rs1v / op2; rem = rs1v % op2; }
+        else { q = 0; rem = rs1v; }
+        mul_a = q;
+      } else {
+        mul_a = rs1v;
+      }
+      for (int i = 0; i < 32; i++) r[L.a_bits + i] = (mul_a >> i) & 1;
+      uint64_t prod = (uint64_t)mul_a * op2;
+      uint32_t lo = (uint32_t)prod, hi = (uint32_t)(prod >> 32);
+      r32 = lo;
+      have_r32 = true;
+      for (int i = 0; i < 32; i++) r[L.m_hi_bits + i] = (hi >> i) & 1;
+      uint32_t ab[4], bb[4];
+      for (int i = 0; i < 4; i++) {
+        ab[i] = (mul_a >> (8 * i)) & 0xFF;
+        bb[i] = (op2 >> (8 * i)) & 0xFF;
+      }
+      uint32_t carry = 0;
+      for (int k2 = 0; k2 < 7; k2++) {
+        uint32_t ck = 0;
+        for (int i = (k2 > 3 ? k2 - 3 : 0); i < 4 && i <= k2; i++)
+          ck += ab[i] * bb[k2 - i];
+        uint32_t t = ck + carry;
+        carry = t >> 8;
+        for (int i = 0; i < 11; i++)
+          r[L.m_carry_bits + 11 * k2 + i] = (carry >> i) & 1;
+      }
+      if (is_mdiv) {
+        for (int i = 0; i < 32; i++) r[L.m_rem_bits + i] = (rem >> i) & 1;
+        int bz = op2 == 0 ? 1 : 0;
+        r[L.m_bzero] = bz;
+        uint32_t s = (op2 & 0xFFFF) + (op2 >> 16);
+        r[L.m_binv] = s ? (int64_t)modpow(s % FP, FP - 2, FP) : 0;
+        r[L.m_ca0] = (((lo & 0xFFFF) + (rem & 0xFFFF)) >> 16) ? 1 : 0;
+        if (!bz) {
+          uint32_t dd = op2 - 1 - rem;
+          for (int i = 0; i < 32; i++) r[L.m_d_bits + i] = (dd >> i) & 1;
+          r[L.m_cb] = (((rem & 0xFFFF) + (dd & 0xFFFF) + 1) >> 16) ? 1 : 0;
+        }
+        rdv = d.f3 == 5 ? (op2 == 0 ? M32 : q) : rem;
+      } else {
+        rdv = d.f3 == 0 ? lo : hi;
       }
     } else if (d.sel[7] || d.sel[8]) {  // ALU
       switch (d.f3) {

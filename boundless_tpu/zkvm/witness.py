@@ -29,12 +29,13 @@ def _signed(v):
 
 def decode_row(addr: int, word: int):
     """One decoded image-table row: [t_pc, word_lo, word_hi, sel10, f3sel8,
-    alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2]."""
+    alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2, mext]."""
     d = isa.decode(word)
     op = d["op"]
     sel = [0] * 10
     f3v = d["f3"]
     alt = 0
+    mext = 0
     imm_lo = imm_hi = imm_field = 0
     rd, rs1, rs2 = d["rd"], d["rs1"], d["rs2"]
     if op == isa.OP_LUI:
@@ -80,6 +81,7 @@ def decode_row(addr: int, word: int):
     elif op == isa.OP_REG:
         sel[8] = 1
         alt = (word >> 30) & 1
+        mext = (word >> 25) & 1
     elif op == isa.OP_SYSTEM:
         sel[9] = 1
         rd = rs1 = rs2 = 0
@@ -95,7 +97,7 @@ def decode_row(addr: int, word: int):
     if not any(sel):
         f3sel = [0] * 8
     return ([addr, word & 0xFFFF, word >> 16] + sel + f3sel
-            + [alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2])
+            + [alt, imm_lo, imm_hi, imm_field, rd, rs1, rs2, mext])
 
 
 def build_ctrl_trace(image: MemoryImage, po2: int) -> np.ndarray:
@@ -124,6 +126,7 @@ def build_ctrl_trace(image: MemoryImage, po2: int) -> np.ndarray:
         ctrl[i, CC.t_rd] = row[25]
         ctrl[i, CC.t_rs1] = row[26]
         ctrl[i, CC.t_rs2] = row[27]
+        ctrl[i, CC.t_mext] = row[28]
     return ctrl
 
 
@@ -188,6 +191,7 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         alt = trow[21]
         imm_lo, imm_hi, imm_field = trow[22], trow[23], trow[24]
         rd, rs1, rs2 = trow[25], trow[26], trow[27]
+        mext = trow[28]
         if sel[1]:
             raise GuestFault("AUIPC not provable in v1")
         if not any(sel):
@@ -211,10 +215,18 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         row[DC.rs2v.start], row[DC.rs2v.start + 1] = rs2v & 0xFFFF, rs2v >> 16
         row[DC.op2.start], row[DC.op2.start + 1] = op2 & 0xFFFF, op2 >> 16
 
+        is_m = bool(sel[8] and mext)
+        is_mdiv = is_m and f3 in (5, 7)
+        row[DC.is_m] = 1 if is_m else 0
         is_alu = sel[7] or sel[8]
+        row[DC.is_shift_col] = 1 if (is_alu and not is_m
+                                     and f3 in (1, 5)) else 0
+        row[DC.is_slt_col] = 1 if (is_alu and not is_m
+                                   and f3 in (2, 3)) else 0
         bind_ab = is_alu or sel[4]
-        if bind_ab:
+        if bind_ab and not is_mdiv:
             row[DC.a_bits.start : DC.a_bits.stop] = _bits(rs1v)
+        if bind_ab:
             row[DC.b_bits.start : DC.b_bits.stop] = _bits(op2)
 
         rdv = 0
@@ -285,6 +297,58 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
             else:
                 mem[addr] = rs2v
                 mem_ops.append((clk, waddr, 1, rs2v))
+        elif is_m:  # M extension (unsigned subset in-circuit)
+            if f3 not in (0, 3, 5, 7):
+                raise GuestFault(
+                    "signed mulh/div/rem are not provable in v1")
+            if is_mdiv:
+                if op2 != 0:
+                    q, r = rs1v // op2, rs1v % op2
+                else:
+                    q, r = 0, rs1v  # q free when b=0; witness picks 0
+                mul_a = q
+            else:
+                q = r = 0
+                mul_a = rs1v
+                row[DC.a_bits.start : DC.a_bits.stop] = _bits(rs1v)
+            if is_mdiv:
+                row[DC.a_bits.start : DC.a_bits.stop] = _bits(q)
+            prod = mul_a * op2
+            lo, hi = prod & M32, prod >> 32
+            r32 = lo
+            row[DC.m_hi_bits.start : DC.m_hi_bits.stop] = _bits(hi)
+            # byte-product carry chain
+            ab = [(mul_a >> (8 * i)) & 0xFF for i in range(4)]
+            bb = [(op2 >> (8 * i)) & 0xFF for i in range(4)]
+            rbytes = [(prod >> (8 * k)) & 0xFF for k in range(8)]
+            carry = 0
+            for k in range(7):
+                ck = sum(ab[i] * bb[k - i]
+                         for i in range(max(0, k - 3), min(4, k + 1)))
+                t = ck + carry
+                assert t & 0xFF == rbytes[k]
+                carry = t >> 8
+                assert carry < (1 << 11)
+                row[DC.m_carry_bits.start + 11 * k :
+                    DC.m_carry_bits.start + 11 * (k + 1)] = _bits(carry, 11)
+            assert carry == rbytes[7]
+            if is_mdiv:
+                row[DC.m_rem_bits.start : DC.m_rem_bits.stop] = _bits(r)
+                bzero = 1 if op2 == 0 else 0
+                row[DC.m_bzero] = bzero
+                s = (op2 & 0xFFFF) + (op2 >> 16)
+                row[DC.m_binv] = pow(s % F.P, F.P - 2, F.P) if s else 0
+                # qb + r = a carries
+                row[DC.m_ca0] = 1 if ((lo & 0xFFFF) + (r & 0xFFFF)
+                                      ) >> 16 else 0
+                if not bzero:
+                    d = op2 - 1 - r
+                    row[DC.m_d_bits.start : DC.m_d_bits.stop] = _bits(d)
+                    row[DC.m_cb] = 1 if ((r & 0xFFFF) + (d & 0xFFFF) + 1
+                                         ) >> 16 else 0
+                rdv = (M32 if bzero else q) if f3 == 5 else r
+            else:
+                rdv = lo if f3 == 0 else hi
         elif sel[7] or sel[8]:  # ALU
             if f3 == 0:
                 if alt:
@@ -455,6 +519,9 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
         DC.rdv.start, DC.a_bits.start, DC.b_bits.start, DC.r_bits.start,
         DC.sh_oh.start, DC.c0, DC.c1, DC.eq, DC.z_inv, DC.taken, DC.k.start,
         DC.commit_seq, DC.read_seq, DC.verify_seq, DC.active, DC.halted,
+        DC.is_m, DC.is_shift_col, DC.is_slt_col, DC.m_hi_bits.start,
+        DC.m_carry_bits.start, DC.m_rem_bits.start, DC.m_d_bits.start,
+        DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero, DC.m_binv,
     ], dtype=np.int32)
 
     img_items = sorted(image.words.items())

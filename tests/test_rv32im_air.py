@@ -119,3 +119,32 @@ def test_prove_verify_echo_e2e():
     bad = prove.SegmentReceipt(proof=receipt.proof, pub=bad_pub,
                                image_id=receipt.image_id, po2=receipt.po2)
     assert not prove.verify_segment(bad, ps=prove.TEST_PS)
+
+
+def test_muldiv_witness_satisfies_air():
+    """Unsigned M extension in-circuit (mul/mulhu/divu/remu)."""
+    res, _ = check(guests.muldiv(),
+                   guests.words([0xDEADBEEF, 12345]))
+    a, b = 0xDEADBEEF, 12345
+    lo = int.from_bytes(res.journal[0:4], "little")
+    assert lo == (a * b) & 0xFFFFFFFF
+
+
+def test_muldiv_edge_cases_satisfy_air():
+    # div by zero, b > a, equal operands
+    for a, b in [(7, 0), (3, 10), (0xFFFFFFFF, 0xFFFFFFFF), (0, 5)]:
+        check(guests.muldiv(), guests.words([a, b]))
+
+
+def test_mul_tampered_rdv_fails():
+    res, w = run_and_witness(guests.muldiv(), guests.words([99, 7]))
+    # find the mul row and corrupt its result
+    import numpy as np
+
+    rows = np.where((w.data[:, DC.is_m] == 1))[0]
+    assert len(rows) >= 4
+    bad = w.data.copy()
+    bad[rows[0], DC.rdv.start] = (bad[rows[0], DC.rdv.start] + 1) % F.P
+    pub = witness.to_public_values(w.pub)
+    ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+    assert not ok
