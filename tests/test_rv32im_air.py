@@ -148,3 +148,14 @@ def test_mul_tampered_rdv_fails():
     pub = witness.to_public_values(w.pub)
     ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
     assert not ok
+
+
+@pytest.mark.slow
+def test_prove_verify_muldiv_e2e():
+    """Full STARK round-trip over a segment containing M-extension ops."""
+    ex = Executor(guests.muldiv(), guests.words([0xCAFEBABE, 77]),
+                  segment_po2=PO2)
+    res = ex.run()
+    receipt = prove.prove_segment(guests.muldiv(), res.segments[0],
+                                  ps=prove.TEST_PS)
+    assert prove.verify_segment(receipt, ps=prove.TEST_PS)
