@@ -72,14 +72,15 @@ def image_id_of(image: MemoryImage, po2: int) -> np.ndarray:
 
 
 def _gen_witness(image, seg):
-    """Prefer the C++ witness generator; fall back to the Python replay."""
+    """Prefer the C++ witness generator; fall back to the Python replay
+    only on toolchain/load problems (guest faults propagate)."""
+    from .executor import GuestFault
+
     try:
         return witness.trace_segment_native(image, seg, seg.po2)
-    except (OSError, ImportError, Exception) as e:
-        from .executor import GuestFault
-
-        if isinstance(e, GuestFault):
-            raise
+    except GuestFault:
+        raise
+    except Exception:  # noqa: BLE001 — g++/ctypes issues only
         return witness.trace_segment(image, seg, seg.po2)
 
 
