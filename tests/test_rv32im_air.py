@@ -159,3 +159,26 @@ def test_prove_verify_muldiv_e2e():
     receipt = prove.prove_segment(guests.muldiv(), res.segments[0],
                                   ps=prove.TEST_PS)
     assert prove.verify_segment(receipt, ps=prove.TEST_PS)
+
+
+def test_signed_m_variants_unprovable():
+    """mulh/div/rem (signed) are executor-only: witness gen must fault."""
+    src = """
+    start:
+        li a0, 7
+        li a1, 3
+        div a2, a0, a1
+        li t0, 0
+        li a0, 0
+        ecall
+    """
+    from boundless_tpu.zkvm.executor import GuestFault
+
+    img = guests.build(src)
+    ex = Executor(img, b"", segment_po2=PO2)
+    res = ex.run()  # executor handles it fine (preflight parity)
+    assert res.exit_code == 0
+    with pytest.raises(GuestFault):
+        witness.trace_segment(img, res.segments[0], PO2)
+    with pytest.raises(GuestFault):
+        witness.trace_segment_native(img, res.segments[0], PO2)
