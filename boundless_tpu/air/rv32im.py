@@ -112,6 +112,7 @@ class DataCols:
         self.is_m = a.get()  # decoded M-extension flag (fetch-bound)
         self.is_shift_col = a.get()  # == is_alu*(1-is_m)*(f3_1+f3_5)
         self.is_slt_col = a.get()  # == is_alu*(1-is_m)*(f3_2+f3_3)
+        self.is_logic_col = a.get()  # == is_alu*(1-is_m)*(f3_4+f3_6+f3_7)
         self.m_hi_bits = a.get(32)  # product high word bits
         self.m_carry_bits = a.get(77)  # 7 carries x 11 bits
         self.m_rem_bits = a.get(32)  # divu/remu remainder bits
@@ -452,6 +453,7 @@ class Rv32imAir(dsl.Air):
                         DC.s_new]
                      + list(range(DC.s_dbits.start, DC.s_dbits.stop))
                      + [DC.is_m, DC.is_shift_col, DC.is_slt_col,
+                        DC.is_logic_col,
                         DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero]
                      + list(range(DC.m_hi_bits.start, DC.m_hi_bits.stop))
                      + list(range(DC.m_carry_bits.start,
@@ -534,7 +536,9 @@ class Rv32imAir(dsl.Air):
                                 add(rs1v[1], m(c1b, c16)))))
 
         # ---- logic ops (grouped over 32 bits) ----
-        is_logic = m(alu_nm, dsum([f3[4], f3[6], f3[7]]))
+        # committed bool keeps the per-bit constraint within degree 5
+        is_logic = d.data(DC.is_logic_col)
+        c.append(sub(is_logic, m(alu_nm, dsum([f3[4], f3[6], f3[7]]))))
         ab = gm(a_blk, b_blk)
         apb = ga(a_blk, b_blk)
         x_xor = gs(apb, ga(ab, ab))

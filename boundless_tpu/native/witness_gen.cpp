@@ -25,7 +25,8 @@ struct Layout {
   int32_t rd_oh, rs1_oh, rs2_oh, rs1v, rs2v, op2, rdv;
   int32_t a_bits, b_bits, r_bits, sh_oh, c0, c1, eq, z_inv, taken;
   int32_t k, commit_seq, read_seq, verify_seq, active, halted;
-  int32_t is_m, is_shift_col, is_slt_col, m_hi_bits, m_carry_bits;
+  int32_t is_m, is_shift_col, is_slt_col, is_logic_col;
+  int32_t m_hi_bits, m_carry_bits;
   int32_t m_rem_bits, m_d_bits, m_ca0, m_ca1, m_cb, m_bzero, m_binv;
 };
 
@@ -224,6 +225,8 @@ extern "C" int bt_trace_cycles(
     r[L.is_shift_col] =
         (is_alu && !is_m && (d.f3 == 1 || d.f3 == 5)) ? 1 : 0;
     r[L.is_slt_col] = (is_alu && !is_m && (d.f3 == 2 || d.f3 == 3)) ? 1 : 0;
+    r[L.is_logic_col] =
+        (is_alu && !is_m && (d.f3 == 4 || d.f3 == 6 || d.f3 == 7)) ? 1 : 0;
     bool bind_ab = is_alu || d.sel[4];
     if (bind_ab && !is_mdiv)
       for (int i = 0; i < 32; i++) r[L.a_bits + i] = (rs1v >> i) & 1;

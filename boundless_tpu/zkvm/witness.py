@@ -223,6 +223,8 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
                                      and f3 in (1, 5)) else 0
         row[DC.is_slt_col] = 1 if (is_alu and not is_m
                                    and f3 in (2, 3)) else 0
+        row[DC.is_logic_col] = 1 if (is_alu and not is_m
+                                     and f3 in (4, 6, 7)) else 0
         bind_ab = is_alu or sel[4]
         if bind_ab and not is_mdiv:
             row[DC.a_bits.start : DC.a_bits.stop] = _bits(rs1v)
@@ -519,7 +521,8 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
         DC.rdv.start, DC.a_bits.start, DC.b_bits.start, DC.r_bits.start,
         DC.sh_oh.start, DC.c0, DC.c1, DC.eq, DC.z_inv, DC.taken, DC.k.start,
         DC.commit_seq, DC.read_seq, DC.verify_seq, DC.active, DC.halted,
-        DC.is_m, DC.is_shift_col, DC.is_slt_col, DC.m_hi_bits.start,
+        DC.is_m, DC.is_shift_col, DC.is_slt_col, DC.is_logic_col,
+        DC.m_hi_bits.start,
         DC.m_carry_bits.start, DC.m_rem_bits.start, DC.m_d_bits.start,
         DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero, DC.m_binv,
     ], dtype=np.int32)
