@@ -766,7 +766,13 @@ class Rv32imAir(dsl.Air):
         dsum_bits = alg.gweighted(
             nx.datab(DC.s_dbits),
             np.array([1 << i for i in range(26)], dtype=np.int64))
-        gate = m(not_last, m(s_active, s_active_n))
+        # Gate on s_active_n alone: the prefix constraint below
+        # (s_active_n * (1 - s_active) == 0) already forces "next active
+        # => current active", so including s_active here is redundant —
+        # and it pushed the read-consistency constraint to degree 6,
+        # aliasing on the rate-1/4 LDE (caught by air/degree.py; any
+        # guest with a non-empty, non-full memory log failed to verify).
+        gate = m(not_last, s_active_n)
         c.append(m(gate, sub(sub(dd, one), dsum_bits)))
         c.append(m(gate, m(sub(one, s_new_n), sub(s_addr_n, s_addr))))
         for limb in range(2):

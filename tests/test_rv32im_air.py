@@ -121,6 +121,26 @@ def test_prove_verify_echo_e2e():
     assert not prove.verify_segment(bad, ps=prove.TEST_PS)
 
 
+@pytest.mark.slow
+def test_prove_verify_memtest_e2e():
+    """Regression: e2e proof of a guest with a non-empty sorted memory log.
+
+    The original memory-log gate (s_active * s_active_n) pushed the
+    read-consistency constraint to degree 6, which aliases on the
+    rate-1/4 LDE — but only when the log is non-empty and non-full
+    (otherwise s_active interpolates to a constant and the composite
+    degree collapses).  echo does IO via ecall and never touches RAM,
+    so the original echo e2e couldn't see it; every load/store guest
+    failed verification.  Found by the degree auditor (air/degree.py).
+    """
+    ex = Executor(guests.memtest(), guests.words([3, 5, 6, 7]),
+                  segment_po2=PO2)
+    res = ex.run()
+    receipt = prove.prove_segment(guests.memtest(), res.segments[0],
+                                  ps=prove.TEST_PS)
+    assert prove.verify_segment(receipt, ps=prove.TEST_PS)
+
+
 def test_muldiv_witness_satisfies_air():
     """Unsigned M extension in-circuit (mul/mulhu/divu/remu)."""
     res, _ = check(guests.muldiv(),
