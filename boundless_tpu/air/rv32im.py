@@ -28,12 +28,12 @@ One extension-field running column R accumulates every LogUp port; a
 boundary constraint pins R's final value to the verifier-computed public
 sum S_pub.
 
-v1 ISA coverage (sound): LUI, JAL, JALR, all branches, LW, SW, all ALU
-reg/imm ops incl. shifts. Not yet in-circuit (executor still runs them;
-staged for later rounds): AUIPC, sub-word loads/stores, the M extension,
-cross-segment RAM continuity (post-memory commitment). First access to a
-non-image address must be a write (uninitialized reads are unprovable by
-construction).
+v1 ISA coverage (sound): LUI, AUIPC, JAL, JALR, all branches, LW, SW, all
+ALU reg/imm ops incl. shifts, unsigned M (MUL/MULHU/DIVU/REMU). Not yet
+in-circuit (executor still runs them; staged for later rounds): signed M
+variants, sub-word loads/stores, cross-segment RAM continuity
+(post-memory commitment). First access to a non-image address must be a
+write (uninitialized reads are unprovable by construction).
 """
 
 from __future__ import annotations
@@ -471,7 +471,6 @@ class Rv32imAir(dsl.Air):
         c.append(sub(alg.gsum(sh_blk), one))
         c.append(sub(alg.gsum(d.datab(DC.sel)), active))
         c.append(sub(alg.gsum(d.datab(DC.k)), is_ecall))
-        c.append(is_auipc)  # v1: not in-circuit
 
         # ---- register reads; reg0 pinned ----
         def reg(kk, limb, rows=d):
@@ -620,6 +619,24 @@ class Rv32imAir(dsl.Air):
                            dtype=np.int64)
         c.append(VecVal(gm(B(is_jalr), gm(b_blk, alg.gconst(hi_mask)))))
 
+        # auipc: rd = (pc + imm_u) mod 2^32 via 16-bit limb adds.
+        # On auipc rows r_bits are free (bind_a/b, jal/jalr, addr_users
+        # all exclude auipc) and hold the pc decomposition pc = RL +
+        # 2^16*RH26 (hi bits zeroed by the address-structure constraint
+        # below, which includes is_auipc); a_bits hold the result bits;
+        # c0/c1 are the limb carries (c1, the 2^32 overflow, is
+        # discarded).  Every limb sum < 2^17 < p, so the field identity
+        # is the integer identity.  Reference semantics:
+        # risc0 rv32im circuit AUIPC op (SURVEY.md §2.4).
+        AL = alg.gweighted(a_blk, W_LO)
+        AH = alg.gweighted(a_blk, W_HI)
+        c.append(m(is_auipc, sub(pc, add(RL, m(c16, RH26)))))
+        c.append(m(is_auipc, sub(add(RL, imm_lo), add(AL, m(c0b, c16)))))
+        c.append(m(is_auipc, sub(add(add(RH26, imm_hi), c0b),
+                                 add(AH, m(c1b, c16)))))
+        c.append(m(is_auipc, sub(rdv[0], AL)))
+        c.append(m(is_auipc, sub(rdv[1], AH)))
+
         # ---- M extension (unsigned MUL/MULHU/DIVU/REMU) ----
         # signed variants are not provable in v1 (executor-only):
         c.append(m(is_m, dsum([f3[1], f3[2], f3[4], f3[6]])))
@@ -699,7 +716,7 @@ class Rv32imAir(dsl.Air):
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])
-        c.append(VecVal(gm(B(add(addr_users, is_jal)),
+        c.append(VecVal(gm(B(dsum([addr_users, is_jal, is_auipc])),
                            gm(r_blk, alg.gconst(hi_mask)))))
         c.append(m(addr_users, d.data(DC.r_bits.start)))
         c.append(m(addr_users, d.data(DC.r_bits.start + 1)))
@@ -712,7 +729,8 @@ class Rv32imAir(dsl.Air):
             m(is_jal, pc_imm),
             m(is_jalr, ADDR_BYTES),
             m(is_br, add(m(taken, pc_imm), m(sub(one, taken), pc4))),
-            m(dsum([is_lui, is_load, is_store, is_alui, is_alur, is_ecall]),
+            m(dsum([is_lui, is_auipc, is_load, is_store, is_alui, is_alur,
+                    is_ecall]),
               pc4),
         ])
         pc_n = nx.data(DC.pc)
@@ -720,7 +738,8 @@ class Rv32imAir(dsl.Air):
                                            m(sub(one, active), pc)))))
 
         # ---- register transitions (grouped per limb over 32 regs) ----
-        wen = dsum([is_lui, is_jal, is_jalr, is_load, is_alui, is_alur])
+        wen = dsum([is_lui, is_auipc, is_jal, is_jalr, is_load, is_alui,
+                    is_alur])
         e10 = np.zeros(32, dtype=np.int64)
         e10[10] = 1
         not0 = np.ones(32, dtype=np.int64)

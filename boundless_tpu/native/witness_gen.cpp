@@ -193,7 +193,7 @@ extern "C" int bt_trace_cycles(
       return fail(err, err_len, "self-modifying code is not provable"), 1;
     uint32_t word = it->second;
     Decoded d = decode(word);
-    if (!d.valid || d.sel[1])
+    if (!d.valid)
       return fail(err, err_len, "unprovable instruction"), 1;
 
     for (int i = 0; i < 10; i++) r[L.sel + i] = d.sel[i];
@@ -256,6 +256,14 @@ extern "C" int bt_trace_cycles(
 
     if (d.sel[0]) {  // LUI
       rdv = imm32;
+    } else if (d.sel[1]) {  // AUIPC: rd = (pc + imm_u) mod 2^32
+      uint64_t s = (uint64_t)pc + imm32;
+      rdv = (uint32_t)s;
+      r32 = pc;  // r_bits carry the pc limb decomposition
+      have_r32 = true;
+      for (int i = 0; i < 32; i++) r[L.a_bits + i] = (rdv >> i) & 1;
+      c0 = ((pc & 0xFFFF) + (imm32 & 0xFFFF)) >> 16 ? 1 : 0;
+      c1 = s >> 32 ? 1 : 0;
     } else if (d.sel[2]) {  // JAL
       r32 = pc + 4;
       have_r32 = true;
@@ -455,8 +463,8 @@ extern "C" int bt_trace_cycles(
     r[L.rdv] = rdv & 0xFFFF;
     r[L.rdv + 1] = rdv >> 16;
 
-    bool wen = d.sel[0] || d.sel[2] || d.sel[3] || d.sel[5] || d.sel[7] ||
-               d.sel[8];
+    bool wen = d.sel[0] || d.sel[1] || d.sel[2] || d.sel[3] || d.sel[5] ||
+               d.sel[7] || d.sel[8];
     if (wen && d.rd != 0) regs[d.rd] = rdv;
     pc = next_pc;
   }

@@ -113,6 +113,27 @@ start:
 
 # memtest: exercises RAM (sw/lw): stores input words to a buffer, reads
 # them back in reverse, commits. Tests the sorted-memory argument.
+AUIPC_SRC = """
+_start:
+    auipc s2, 0xfffff   # pc=0x1000: 0xfffff000 + 0x1000 wraps to 0 (c1=1)
+    auipc s0, 0         # s0 = 0x1004
+    auipc s1, 0x12345   # s1 = 0x12345000 + 0x1008
+    auipc s3, 0xf       # pc=0x100c: low-limb carry (0x100c + 0xf000)
+    sub a0, s1, s0
+    li t0, 1
+    ecall               # commit 0x12345004
+    mv a0, s2
+    li t0, 1
+    ecall               # commit 0 (2^32 wrap)
+    mv a0, s3
+    li t0, 1
+    ecall               # commit 0x1000c
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+
 MEMTEST_SRC = """
 start:
     li t0, 2
@@ -170,6 +191,10 @@ def muldiv() -> MemoryImage:
 
 def memtest() -> MemoryImage:
     return build(MEMTEST_SRC)
+
+
+def auipc_guest() -> MemoryImage:
+    return build(AUIPC_SRC)
 
 
 def words(ints):

@@ -192,8 +192,6 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         imm_lo, imm_hi, imm_field = trow[22], trow[23], trow[24]
         rd, rs1, rs2 = trow[25], trow[26], trow[27]
         mext = trow[28]
-        if sel[1]:
-            raise GuestFault("AUIPC not provable in v1")
         if not any(sel):
             raise GuestFault(f"unprovable instruction {word:#010x} at {pc:#x}")
         f3 = f3sel.index(1)
@@ -254,6 +252,12 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
 
         if sel[0]:  # LUI
             rdv = imm32
+        elif sel[1]:  # AUIPC: rd = (pc + imm_u) mod 2^32
+            rdv = (pc + imm32) & M32
+            r32 = pc  # r_bits carry the pc limb decomposition
+            row[DC.a_bits.start : DC.a_bits.stop] = _bits(rdv)
+            c0 = 1 if (pc & 0xFFFF) + imm_lo >= (1 << 16) else 0
+            c1 = 1 if pc + imm32 >= (1 << 32) else 0
         elif sel[2]:  # JAL
             r32 = (pc + 4) & M32
             rdv = r32
@@ -414,7 +418,8 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         row[DC.rdv.start], row[DC.rdv.start + 1] = rdv & 0xFFFF, rdv >> 16
 
         # apply register write
-        wen = sel[0] or sel[2] or sel[3] or sel[5] or sel[7] or sel[8]
+        wen = (sel[0] or sel[1] or sel[2] or sel[3] or sel[5] or sel[7]
+               or sel[8])
         if wen and rd != 0:
             regs[rd] = rdv
         pc = next_pc

@@ -42,6 +42,10 @@ def test_identity_parity():
     both(guests.identity(), guests.words(list(range(8))))
 
 
+def test_auipc_parity():
+    both(guests.auipc_guest(), b"")
+
+
 def test_alu_parity():
     src = """
     start:

@@ -91,6 +91,25 @@ def test_alu_coverage_witness():
     assert res.exit_code == 0
 
 
+def test_auipc_witness_satisfies_air():
+    """AUIPC in-circuit: plain, 2^32 wraparound, and low-limb carry."""
+    res, _ = check(guests.auipc_guest(), b"")
+    assert res.exit_code == 0
+    assert res.journal == guests.words([0x12345004, 0, 0x1000C])
+
+
+def test_auipc_tampered_rdv_fails():
+    res, w = run_and_witness(guests.auipc_guest(), b"")
+    bad = w.data.copy()
+    # first auipc row: corrupt the committed result limb
+    rows = np.nonzero(bad[:, DC.sel.start + 1])[0]
+    assert rows.size == 4
+    bad[rows[0], DC.rdv.start] = (bad[rows[0], DC.rdv.start] + 1) % F.P
+    pub = witness.to_public_values(w.pub)
+    ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+    assert not ok
+
+
 def test_tampered_witness_fails_air():
     payload = [42]
     res, w = run_and_witness(guests.echo(),
