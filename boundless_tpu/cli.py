@@ -69,6 +69,43 @@ def cmd_prover_generate_config(args):
     )))
 
 
+def cmd_prover_audit_degrees(args):
+    """Constraint-degree audit of the rv32im AIR (air/degree.py).
+
+    The dev gate for any AIR change: fails if any constraint exceeds the
+    declared max_degree or the hard composition-split budget.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from .air import degree as DA
+    from .air import rv32im as R
+    from .core import field as F
+
+    rng = np.random.default_rng(0)
+
+    def rf(shape):
+        import jax.numpy as jnp
+
+        return jnp.asarray(rng.integers(0, F.P, size=shape, dtype=np.uint32))
+
+    pub = R.PublicValues(
+        pre_pc=rf(()), post_pc=rf(()), pre_regs=rf((64,)),
+        post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((3,)),
+        post_seqs=rf((3,)), io=rf((R.IO_MAX, 5)))
+    air = R.Rv32imAir()
+    degs = DA.assert_degrees(air, pub, po2=args.po2)
+    n = 1 << args.po2
+    worst = max(d.degree for d in degs)
+    print(json.dumps(dict(
+        air=air.name, constraints=len(degs), po2=args.po2,
+        worst_degree=worst, worst_mult=round(worst / (n - 1), 3),
+        declared=air.max_degree, budget=DA.degree_budget(args.po2),
+        ok=True)))
+
+
 def cmd_cluster_serve(args):
     """Run an in-process cluster (API + workers) — reference compose.yml."""
     from .cluster.agent import ClusterContext, run_workers
@@ -132,6 +169,9 @@ def main(argv=None):
     gc = prover.add_parser("generate-config")
     gc.add_argument("--khz", type=float, default=None)
     gc.set_defaults(fn=cmd_prover_generate_config)
+    ad = prover.add_parser("audit-degrees")
+    ad.add_argument("--po2", type=int, default=5)
+    ad.set_defaults(fn=cmd_prover_audit_degrees)
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="cmd",
                                                        required=True)
