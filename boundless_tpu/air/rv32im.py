@@ -152,16 +152,22 @@ class CtrlCols:
 
 
 class AccumCols:
-    PORTS = ("fetch", "fetch_tbl", "mem", "mem_sorted", "init", "init_tbl",
-             "commit", "read", "verify")
-    SIGNS = {"fetch": +1, "fetch_tbl": -1, "mem": +1, "mem_sorted": -1,
-             "init": +1, "init_tbl": -1, "commit": +1, "read": +1,
-             "verify": +1}
+    # mem  = instruction-side access at time 2*clk + is_write (the final
+    #        value: loaded word / merged stored word)
+    # mem2 = the extra old-word *read* (time 2*clk) that a sub-word store
+    #        performs before its write — one instruction, two log rows
+    PORTS = ("fetch", "fetch_tbl", "mem", "mem2", "mem_sorted", "init",
+             "init_tbl", "commit", "read", "verify")
+    SIGNS = {"fetch": +1, "fetch_tbl": -1, "mem": +1, "mem2": +1,
+             "mem_sorted": -1, "init": +1, "init_tbl": -1, "commit": +1,
+             "read": +1, "verify": +1}
 
     def __init__(self):
         self.inv = {p: 4 * i for i, p in enumerate(self.PORTS)}
         self.running = 4 * len(self.PORTS)
-        self.total = 4 * len(self.PORTS) + 4
+        self.total = 4 * len(self.PORTS) + 4  # 44; pad to 48 below
+        self.pad = 48 - self.total
+        self.total = 48
 
 
 DC = DataCols()
@@ -257,8 +263,28 @@ def _ports(alg, row, gamma, dpows):
     def reg(kk, limb):
         return d.data(DC.regs.start + 2 * kk + limb)
 
-    mval = [add(m(is_load, rdv[i]), m(is_store, rs2v[i])) for i in range(2)]
-    mem_comps = alg.stack([addr_word, clk, mval[0], mval[1], is_store])
+    # Access values ride the free bit blocks: loads put the fetched word
+    # in b_bits, stores put the (merged) stored word in a_bits — uniform
+    # across word and sub-word widths (rdv/rs2v relate to them through
+    # the width/sign-extension constraints in `constraints`).
+    W_LO16 = np.array([1 << i if i < 16 else 0 for i in range(32)],
+                      dtype=np.int64)
+    W_HI16 = np.array([1 << (i - 16) if i >= 16 else 0 for i in range(32)],
+                      dtype=np.int64)
+    a_blk = d.datab(DC.a_bits)
+    b_blk = d.datab(DC.b_bits)
+    BL_, BH_ = alg.gweighted(b_blk, W_LO16), alg.gweighted(b_blk, W_HI16)
+    AL_, AH_ = alg.gweighted(a_blk, W_LO16), alg.gweighted(a_blk, W_HI16)
+    mval = [add(m(is_load, BL_), m(is_store, AL_)),
+            add(m(is_load, BH_), m(is_store, AH_))]
+    # Time is 2*clk + phase (read=0, write=1): a sub-word store's
+    # old-word read strictly precedes its write in the sorted log.
+    t_main = add(add(clk, clk), is_store)
+    t_read = add(clk, clk)
+    mem_comps = alg.stack([addr_word, t_main, mval[0], mval[1], is_store])
+    mem2_comps = alg.stack([addr_word, t_read, BL_, BH_, alg.zero()])
+    f3b = [d.data(DC.f3.start + i) for i in range(8)]
+    is_subw_store = m(is_store, add(f3b[0], f3b[1]))
     srt_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_clk),
                            d.data(DC.s_val.start), d.data(DC.s_val.start + 1),
                            d.data(DC.s_is_write)])
@@ -276,6 +302,7 @@ def _ports(alg, row, gamma, dpows):
         "fetch": _pack(alg, gamma, dpows, TAG["fetch"], fetch_comps),
         "fetch_tbl": _pack(alg, gamma, dpows, TAG["fetch"], tbl_comps),
         "mem": _pack(alg, gamma, dpows, TAG["mem"], mem_comps),
+        "mem2": _pack(alg, gamma, dpows, TAG["mem"], mem2_comps),
         "mem_sorted": _pack(alg, gamma, dpows, TAG["mem"], srt_comps),
         "init": _pack(alg, gamma, dpows, TAG["init"], init_comps),
         "init_tbl": _pack(alg, gamma, dpows, TAG["init"], init_tbl_comps),
@@ -288,6 +315,7 @@ def _ports(alg, row, gamma, dpows):
         "fetch": active,
         "fetch_tbl": d.data(DC.mult_fetch),
         "mem": add(is_load, is_store),
+        "mem2": is_subw_store,
         "mem_sorted": d.data(DC.s_active),
         "init": m(d.data(DC.s_active),
                   m(d.data(DC.s_new), sub(one, d.data(DC.s_is_write)))),
@@ -718,9 +746,80 @@ class Rv32imAir(dsl.Air):
         addr_users = dsum([is_jalr, is_load, is_store])
         c.append(VecVal(gm(B(dsum([addr_users, is_jal, is_auipc])),
                            gm(r_blk, alg.gconst(hi_mask)))))
-        c.append(m(addr_users, d.data(DC.r_bits.start)))
-        c.append(m(addr_users, d.data(DC.r_bits.start + 1)))
+        # alignment by access width (f3: 0=b 1=h 2=w 4=bu 5=hu):
+        # jalr/word -> 4-aligned, half -> 2-aligned, byte -> free
+        is_word = m(add(is_load, is_store), f3[2])
+        is_half = add(m(is_load, add(f3[1], f3[5])), m(is_store, f3[1]))
+        c.append(m(dsum([is_jalr, is_word, is_half]),
+                   d.data(DC.r_bits.start)))
+        c.append(m(add(is_jalr, is_word), d.data(DC.r_bits.start + 1)))
+        # no undefined width classes
+        c.append(m(is_load, dsum([f3[3], f3[6], f3[7]])))
+        c.append(m(is_store, dsum([f3[3], f3[4], f3[5], f3[6], f3[7]])))
         ADDR_BYTES = add(RL, m(c16, RH26))
+
+        # ---- loads/stores: word plumbing + sub-word extraction/merge ----
+        # Loads put the fetched word in b_bits; stores put the (merged)
+        # stored word in a_bits (both blocks are free on these rows).
+        # The mem LogUp port reads those blocks (see _ports), so the
+        # sorted-log consistency argument works at word granularity for
+        # every width; sub-word stores additionally read the old word
+        # through the mem2 port at time 2*clk (write at 2*clk + 1).
+        # sh_oh doubles as the byte-offset one-hot, bound to the low
+        # address bits for every load/store (offset 0 for word ops).
+        addr_low = add(d.data(DC.r_bits.start),
+                       add(d.data(DC.r_bits.start + 1),
+                           d.data(DC.r_bits.start + 1)))
+        c.append(m(add(is_load, is_store), sub(sh_idx, addr_low)))
+        shs = [d.data(DC.sh_oh.start + j) for j in range(4)]
+        BH = alg.gweighted(b_blk, W_HI)
+        is_lw = m(is_load, f3[2])
+        is_sw = m(is_store, f3[2])
+        c.append(m(is_lw, sub(rdv[0], BL)))
+        c.append(m(is_lw, sub(rdv[1], BH)))
+        c.append(m(is_sw, sub(AL, rs2v[0])))
+        c.append(m(is_sw, sub(AH, rs2v[1])))
+        bbytes = [byte_of(b_blk, j) for j in range(4)]
+        abytes = [byte_of(a_blk, j) for j in range(4)]
+        selbyte_b = dsum([m(s_, v) for s_, v in zip(shs, bbytes)])
+        sbit_b = dsum([m(s_, d.data(DC.b_bits.start + 8 * j + 7))
+                       for j, s_ in enumerate(shs)])
+        is_lb = m(is_load, f3[0])
+        is_lbu = m(is_load, f3[4])
+        cFF00 = alg.const(0xFF00)
+        c.append(m(is_lbu, sub(rdv[0], selbyte_b)))
+        c.append(m(is_lbu, rdv[1]))
+        c.append(m(is_lb, sub(rdv[0], add(selbyte_b, m(cFF00, sbit_b)))))
+        c.append(m(is_lb, sub(rdv[1], m(cFFFF, sbit_b))))
+        is_lh = m(is_load, f3[1])
+        is_lhu = m(is_load, f3[5])
+        selhalf_b = add(m(shs[0], BL), m(shs[2], BH))
+        hbit_b = add(m(shs[0], d.data(DC.b_bits.start + 15)),
+                     m(shs[2], d.data(DC.b_bits.start + 31)))
+        c.append(m(is_lhu, sub(rdv[0], selhalf_b)))
+        c.append(m(is_lhu, rdv[1]))
+        c.append(m(is_lh, sub(rdv[0], selhalf_b)))
+        c.append(m(is_lh, sub(rdv[1], m(cFFFF, hbit_b))))
+        # SB: unselected bytes preserved; selected byte = rs2 low byte
+        # (rs2v[0] = sel_byte + 256*Q8, Q8 an 8-bit witness in the first
+        # 8 m_hi_bits — free on store rows since is_m = 0 there)
+        is_sb = m(is_store, f3[0])
+        is_sh = m(is_store, f3[1])
+        for j in range(4):
+            c.append(m(is_sb, m(sub(one, shs[j]),
+                                sub(abytes[j], bbytes[j]))))
+        q8_idx = list(range(DC.m_hi_bits.start, DC.m_hi_bits.start + 8))
+        Q8 = alg.gweighted(d.datab(q8_idx),
+                           np.array([1 << i for i in range(8)],
+                                    dtype=np.int64))
+        selbyte_a = dsum([m(s_, v) for s_, v in zip(shs, abytes)])
+        c.append(m(is_sb, sub(rs2v[0], add(selbyte_a,
+                                           m(alg.const(256), Q8)))))
+        # SH: unselected half preserved; selected half = rs2 low limb
+        c.append(m(is_sh, m(shs[0], sub(AH, BH))))
+        c.append(m(is_sh, m(shs[2], sub(AL, BL))))
+        c.append(m(is_sh, sub(rs2v[0], add(m(shs[0], AL),
+                                           m(shs[2], AH)))))
 
         # ---- pc transition ----
         pc4 = add(pc, alg.const(4))

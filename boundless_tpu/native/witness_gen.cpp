@@ -304,31 +304,80 @@ extern "C" int bt_trace_cycles(
         if (imm > (int64_t)FP / 2) imm -= (int64_t)FP;
         next_pc = (uint32_t)((int64_t)pc + imm);
       }
-    } else if (d.sel[5] || d.sel[6]) {  // LOAD / STORE
+    } else if (d.sel[5] || d.sel[6]) {  // LOAD / STORE (word and sub-word)
       addm();
       uint32_t addr = r32;
-      if ((addr & 3) || addr >= (1u << 26))
+      int size;
+      switch (d.f3) {
+        case 0: case 4: size = 1; break;
+        case 1: case 5: size = 2; break;
+        case 2: size = 4; break;
+        default: size = 0;
+      }
+      if (!size || (d.sel[6] && d.f3 > 2))
+        return fail(err, err_len, "bad load/store width"), 1;
+      if ((addr % size) || addr >= (1u << 26))
         return fail(err, err_len, "memory access unaligned or out of range"), 1;
-      uint32_t waddr = addr >> 2;
+      uint32_t off = addr & 3u;
+      uint32_t base = addr & ~3u;
+      uint32_t waddr = base >> 2;
+      // sh_oh = byte-offset one-hot; mem-op times are 2*clk + phase
+      r[L.sh_oh + off] = 1;
+      sh_set = 1;
+      auto push_op = [&](int64_t t, uint32_t wa, int isw,
+                         uint32_t val) -> bool {
+        if (n_ops >= n_rows) return false;
+        mem_ops_out[4 * n_ops] = t;
+        mem_ops_out[4 * n_ops + 1] = wa;
+        mem_ops_out[4 * n_ops + 2] = isw;
+        mem_ops_out[4 * n_ops + 3] = val;
+        n_ops++;
+        return true;
+      };
       if (d.sel[5]) {
-        auto mv = mem.find(addr);
+        auto mv = mem.find(base);
         if (mv == mem.end())
           return fail(err, err_len, "uninitialized read"), 1;
-        rdv = mv->second;
-        if (n_ops >= n_rows) return fail(err, err_len, "mem ops overflow"), 1;
-        mem_ops_out[4 * n_ops] = clk;
-        mem_ops_out[4 * n_ops + 1] = waddr;
-        mem_ops_out[4 * n_ops + 2] = 0;
-        mem_ops_out[4 * n_ops + 3] = rdv;
-        n_ops++;
+        uint32_t w = mv->second;
+        for (int i = 0; i < 32; i++) r[L.b_bits + i] = (w >> i) & 1;
+        if (d.f3 == 2) {
+          rdv = w;
+        } else if (d.f3 == 0 || d.f3 == 4) {
+          uint32_t bv = (w >> (8 * off)) & 0xFFu;
+          rdv = (d.f3 == 4 || !(bv & 0x80u)) ? bv : (bv | 0xFFFFFF00u);
+        } else {
+          uint32_t hv = (w >> (8 * off)) & 0xFFFFu;
+          rdv = (d.f3 == 5 || !(hv & 0x8000u)) ? hv : (hv | 0xFFFF0000u);
+        }
+        if (!push_op(2 * (int64_t)clk, waddr, 0, w))
+          return fail(err, err_len, "mem ops overflow"), 1;
       } else {
-        mem[addr] = rs2v;
-        if (n_ops >= n_rows) return fail(err, err_len, "mem ops overflow"), 1;
-        mem_ops_out[4 * n_ops] = clk;
-        mem_ops_out[4 * n_ops + 1] = waddr;
-        mem_ops_out[4 * n_ops + 2] = 1;
-        mem_ops_out[4 * n_ops + 3] = rs2v;
-        n_ops++;
+        uint32_t merged;
+        if (d.f3 == 2) {
+          merged = rs2v;
+        } else {
+          auto mv = mem.find(base);
+          if (mv == mem.end())
+            return fail(err, err_len,
+                        "sub-word store needs the old word"), 1;
+          uint32_t old = mv->second;
+          for (int i = 0; i < 32; i++) r[L.b_bits + i] = (old >> i) & 1;
+          if (d.f3 == 0) {
+            uint32_t mask = 0xFFu << (8 * off);
+            merged = (old & ~mask) | ((rs2v & 0xFFu) << (8 * off));
+            for (int i = 0; i < 8; i++)
+              r[L.m_hi_bits + i] = ((rs2v >> 8) >> i) & 1;
+          } else {
+            uint32_t mask = 0xFFFFu << (8 * off);
+            merged = (old & ~mask) | ((rs2v & 0xFFFFu) << (8 * off));
+          }
+          if (!push_op(2 * (int64_t)clk, waddr, 0, old))
+            return fail(err, err_len, "mem ops overflow"), 1;
+        }
+        mem[base] = merged;
+        for (int i = 0; i < 32; i++) r[L.a_bits + i] = (merged >> i) & 1;
+        if (!push_op(2 * (int64_t)clk + 1, waddr, 1, merged))
+          return fail(err, err_len, "mem ops overflow"), 1;
       }
     } else if (is_m) {  // M extension (unsigned subset)
       if (!(d.f3 == 0 || d.f3 == 3 || d.f3 == 5 || d.f3 == 7))

@@ -113,6 +113,39 @@ start:
 
 # memtest: exercises RAM (sw/lw): stores input words to a buffer, reads
 # them back in reverse, commits. Tests the sorted-memory argument.
+SUBWORD_SRC = """
+_start:
+    li s4, 0x20000
+    li t2, 0x04030201
+    sw t2, 0(s4)
+    lb a0, 1(s4)        # byte1 = 0x02
+    li t0, 1
+    ecall
+    li t3, 0x8080
+    sh t3, 2(s4)        # word -> 0x80800201
+    lh a0, 2(s4)        # sign-extends to 0xFFFF8080
+    li t0, 1
+    ecall
+    lhu a0, 2(s4)       # 0x8080
+    li t0, 1
+    ecall
+    lbu a0, 3(s4)       # 0x80
+    li t0, 1
+    ecall
+    lb a0, 3(s4)        # 0xFFFFFF80
+    li t0, 1
+    ecall
+    li t4, 0x5AB
+    sb t4, 0(s4)        # stores low byte 0xAB -> 0x808002AB
+    lw a0, 0(s4)
+    li t0, 1
+    ecall
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+
 AUIPC_SRC = """
 _start:
     auipc s2, 0xfffff   # pc=0x1000: 0xfffff000 + 0x1000 wraps to 0 (c1=1)
@@ -195,6 +228,10 @@ def memtest() -> MemoryImage:
 
 def auipc_guest() -> MemoryImage:
     return build(AUIPC_SRC)
+
+
+def subword_guest() -> MemoryImage:
+    return build(SUBWORD_SRC)
 
 
 def words(ints):

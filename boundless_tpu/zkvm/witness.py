@@ -286,23 +286,64 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
             if taken:
                 next_pc = (pc + isa.sign_extend(
                     int(_unmod(imm_field)), 32)) & M32
-        elif sel[5] or sel[6]:  # LOAD / STORE
+        elif sel[5] or sel[6]:  # LOAD / STORE (word and sub-word)
             addm()
             addr = r32
-            if addr & 3 or addr >= (1 << 26):
+            size = {0: 1, 1: 2, 2: 4, 4: 1, 5: 2}.get(f3)
+            if size is None or (sel[6] and f3 not in (0, 1, 2)):
+                raise GuestFault("bad load/store width")
+            if addr % size or addr >= (1 << 26):
                 raise GuestFault("memory access unaligned or out of range")
-            waddr = addr >> 2
+            off = addr & 3
+            base = addr & ~3
+            waddr = base >> 2
+            # sh_oh doubles as the byte-offset one-hot (AIR binds it to
+            # the low address bits); mem-op times are 2*clk + phase so a
+            # sub-word store's old-word read precedes its write.
+            row[DC.sh_oh.start + off] = 1
+            sh_set = True
             if sel[5]:
-                val = mem.get(addr, None)
-                if val is None:
+                w = mem.get(base, None)
+                if w is None:
                     raise GuestFault(
                         "uninitialized read (first access must be a write "
                         "or an image word)")
-                rdv = val
-                mem_ops.append((clk, waddr, 0, val))
+                row[DC.b_bits.start : DC.b_bits.stop] = _bits(w)
+                if f3 == 2:
+                    rdv = w
+                elif f3 in (0, 4):
+                    bv = (w >> (8 * off)) & 0xFF
+                    rdv = bv if f3 == 4 or not bv & 0x80 else (
+                        bv | 0xFFFFFF00)
+                else:  # 1 / 5: lh / lhu
+                    hv = (w >> (8 * off)) & 0xFFFF
+                    rdv = hv if f3 == 5 or not hv & 0x8000 else (
+                        hv | 0xFFFF0000)
+                mem_ops.append((2 * clk, waddr, 0, w))
             else:
-                mem[addr] = rs2v
-                mem_ops.append((clk, waddr, 1, rs2v))
+                if f3 == 2:
+                    merged = rs2v
+                else:
+                    old = mem.get(base, None)
+                    if old is None:
+                        raise GuestFault(
+                            "sub-word store needs the old word (first "
+                            "access to a non-image word must be a full-"
+                            "word write)")
+                    row[DC.b_bits.start : DC.b_bits.stop] = _bits(old)
+                    if f3 == 0:
+                        mask = 0xFF << (8 * off)
+                        merged = (old & ~mask) | ((rs2v & 0xFF) << (8 * off))
+                        row[DC.m_hi_bits.start : DC.m_hi_bits.start + 8] = \
+                            _bits((rs2v >> 8) & 0xFF, 8)
+                    else:
+                        mask = 0xFFFF << (8 * off)
+                        merged = (old & ~mask) | (
+                            (rs2v & 0xFFFF) << (8 * off))
+                    mem_ops.append((2 * clk, waddr, 0, old))
+                mem[base] = merged
+                row[DC.a_bits.start : DC.a_bits.stop] = _bits(merged)
+                mem_ops.append((2 * clk + 1, waddr, 1, merged))
         elif is_m:  # M extension (unsigned subset in-circuit)
             if f3 not in (0, 3, 5, 7):
                 raise GuestFault(

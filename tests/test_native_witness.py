@@ -46,6 +46,10 @@ def test_auipc_parity():
     both(guests.auipc_guest(), b"")
 
 
+def test_subword_parity():
+    both(guests.subword_guest(), b"")
+
+
 def test_alu_parity():
     src = """
     start:

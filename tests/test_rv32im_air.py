@@ -110,6 +110,46 @@ def test_auipc_tampered_rdv_fails():
     assert not ok
 
 
+def test_subword_witness_satisfies_air():
+    """LB/LBU/LH/LHU/SB/SH: extraction, sign-extension, merge, offsets."""
+    res, _ = check(guests.subword_guest(), b"")
+    assert res.exit_code == 0
+    assert res.journal == guests.words(
+        [0x02, 0xFFFF8080, 0x8080, 0x80, 0xFFFFFF80, 0x808002AB])
+
+
+def test_subword_tampered_merge_fails():
+    """Corrupting an unselected byte of a SB's merged word must fail."""
+    res, w = run_and_witness(guests.subword_guest(), b"")
+    bad = w.data.copy()
+    rows = np.nonzero(bad[:, DC.sel.start + 6] *
+                      bad[:, DC.f3.start + 0])[0]  # SB rows
+    assert rows.size == 1
+    r = rows[0]
+    # flip a bit of a preserved byte (byte 2) in the merged word
+    col = DC.a_bits.start + 16
+    bad[r, col] = 1 - bad[r, col]
+    pub = witness.to_public_values(w.pub)
+    ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+    assert not ok
+
+
+def test_subword_misaligned_half_faults():
+    src = """
+    start:
+        li s4, 0x20000
+        li t2, 7
+        sw t2, 0(s4)
+        lh a0, 1(s4)
+        li t0, 0
+        ecall
+    """
+    img = guests.build(src)
+    ex = Executor(img, b"", segment_po2=PO2)
+    with pytest.raises(witness.GuestFault):
+        ex.run()
+
+
 def test_tampered_witness_fails_air():
     payload = [42]
     res, w = run_and_witness(guests.echo(),
