@@ -28,12 +28,14 @@ One extension-field running column R accumulates every LogUp port; a
 boundary constraint pins R's final value to the verifier-computed public
 sum S_pub.
 
-v1 ISA coverage (sound): LUI, AUIPC, JAL, JALR, all branches, LW, SW, all
-ALU reg/imm ops incl. shifts, unsigned M (MUL/MULHU/DIVU/REMU). Not yet
-in-circuit (executor still runs them; staged for later rounds): signed M
-variants, sub-word loads/stores, cross-segment RAM continuity
-(post-memory commitment). First access to a non-image address must be a
-write (uninitialized reads are unprovable by construction).
+ISA coverage (sound): the full RV32IM user subset — LUI, AUIPC, JAL,
+JALR, all branches, all loads/stores (word and sub-word), all ALU
+reg/imm ops incl. shifts, and the full M extension
+(MUL/MULH/MULHSU/MULHU/DIV/DIVU/REM/REMU, incl. the div-by-zero and
+-2^31/-1 special cases per the RISC-V spec). Not yet in-circuit:
+cross-segment RAM continuity (post-memory commitment). First access to
+a non-image address must be a write or an image word (uninitialized
+reads are unprovable by construction).
 """
 
 from __future__ import annotations
@@ -118,10 +120,16 @@ class DataCols:
         self.m_rem_bits = a.get(32)  # divu/remu remainder bits
         self.m_d_bits = a.get(32)  # witness for r < b (r + d + 1 = b)
         self.m_ca0 = a.get()  # qb+r=a carry limb0
-        self.m_ca1 = a.get()  # qb+r=a carry limb1
+        self.m_ca1 = a.get()  # qb+r=a carry limb1 (signed div)
         self.m_cb = a.get()  # r+d+1=b carry
         self.m_bzero = a.get()  # divisor-is-zero flag
         self.m_binv = a.get()  # inverse witness for (b0+b1)
+        # --- signed M (MULH/MULHSU/DIV/REM) ---
+        # s_bits: [e0, e1] high-identity 2^32 carry, [2] overflow flag o
+        # (a = -2^31, b = -1), [3, 4] |r| < |b| comparison carries
+        self.m_s_bits = a.get(8)
+        self.m_g = a.get()  # committed gate selS * (1 - o)
+        self.m_g2 = a.get()  # committed gate selS * (1 - bzero)
         # pad to 576 (div by 8 for tp sharding; unconstrained zero cols)
         self.pad = a.get(576 - a.n)
         self.total = a.n
@@ -487,7 +495,8 @@ class Rv32imAir(dsl.Air):
                      + list(range(DC.m_carry_bits.start,
                                   DC.m_carry_bits.stop))
                      + list(range(DC.m_rem_bits.start, DC.m_rem_bits.stop))
-                     + list(range(DC.m_d_bits.start, DC.m_d_bits.stop)))
+                     + list(range(DC.m_d_bits.start, DC.m_d_bits.stop))
+                     + list(range(DC.m_s_bits.start, DC.m_s_bits.stop)))
         bools = d.datab(bool_cols)
         ones_g = alg.gconst(np.ones(len(bool_cols), dtype=np.int64))
         c.append(VecVal(gm(bools, gs(bools, ones_g))))
@@ -496,7 +505,13 @@ class Rv32imAir(dsl.Air):
         c.append(sub(alg.gsum(rd_blk), one))
         c.append(sub(alg.gsum(rs1_blk), one))
         c.append(sub(alg.gsum(rs2_blk), one))
-        c.append(sub(alg.gsum(sh_blk), one))
+        # sh_oh is one-hot only where it IS a one-hot (shift amount /
+        # load-store byte offset); signed div reuses the block as the
+        # dividend's bit decomposition, so the sum is gated.
+        sh_users = dsum([d.data(DC.is_shift_col),
+                         d.data(DC.sel.start + 5),
+                         d.data(DC.sel.start + 6)])
+        c.append(m(sh_users, sub(alg.gsum(sh_blk), one)))
         c.append(sub(alg.gsum(d.datab(DC.sel)), active))
         c.append(sub(alg.gsum(d.datab(DC.k)), is_ecall))
 
@@ -536,10 +551,12 @@ class Rv32imAir(dsl.Air):
         is_m = d.data(DC.is_m)
         is_alu = add(is_alui, is_alur)
         alu_nm = m(is_alu, sub(one, is_m))  # non-M alu rows
-        is_mdiv = m(is_m, add(f3[5], f3[7]))
-        # a-bits bind rs1v except on divu/remu rows (there they carry the
+        is_mdiv = m(is_m, add(f3[5], f3[7]))  # unsigned div/rem
+        selS = m(is_m, add(f3[4], f3[6]))  # signed div/rem
+        is_anydiv = m(is_m, dsum([f3[4], f3[5], f3[6], f3[7]]))
+        # a-bits bind rs1v except on div/rem rows (there they carry the
         # quotient witness); b-bits always bind op2.
-        bind_a = add(add(is_alui, is_br), m(is_alur, sub(one, is_mdiv)))
+        bind_a = add(add(is_alui, is_br), m(is_alur, sub(one, is_anydiv)))
         bind_b = dsum([is_alui, is_alur, is_br])
         c.append(m(bind_a, sub(rs1v[0], alg.gweighted(a_blk, W_LO))))
         c.append(m(bind_a, sub(rs1v[1], alg.gweighted(a_blk, W_HI))))
@@ -665,9 +682,7 @@ class Rv32imAir(dsl.Air):
         c.append(m(is_auipc, sub(rdv[0], AL)))
         c.append(m(is_auipc, sub(rdv[1], AH)))
 
-        # ---- M extension (unsigned MUL/MULHU/DIVU/REMU) ----
-        # signed variants are not provable in v1 (executor-only):
-        c.append(m(is_m, dsum([f3[1], f3[2], f3[4], f3[6]])))
+        # ---- M extension (full: MUL/MULH/MULHSU/MULHU/DIV/DIVU/REM/REMU) ----
         # 8x8-bit byte products with an 11-bit carry chain: every column
         # sum < 2^18 < p, so the integer identity cannot wrap mod p.
         hi_blk = d.datab(DC.m_hi_bits)
@@ -713,12 +728,13 @@ class Rv32imAir(dsl.Air):
         c.append(m(is_mdiv, sub(add(add(RH, RemH), ca0), rs1v[1])))
         c.append(m(is_mdiv, HL))
         c.append(m(is_mdiv, HH))
-        # divisor-zero flag via inverse gadget on (b0 + b1)
+        # divisor-zero flag via inverse gadget on (b0 + b1); shared by
+        # the unsigned and signed division families
         bzero = d.data(DC.m_bzero)
         binv = d.data(DC.m_binv)
         sB = add(op2[0], op2[1])
-        c.append(m(is_mdiv, m(bzero, sB)))
-        c.append(m(is_mdiv, sub(add(bzero, m(sB, binv)), one)))
+        c.append(m(is_anydiv, m(bzero, sB)))
+        c.append(m(is_anydiv, sub(add(bzero, m(sB, binv)), one)))
         # r < b (unless b == 0): r + d + 1 == b with 32-bit d
         d_blk = d.datab(DC.m_d_bits)
         DL_ = alg.gweighted(d_blk, W_LO)
@@ -741,6 +757,129 @@ class Rv32imAir(dsl.Air):
         sel_remu = m(is_m, f3[7])
         c.append(m(sel_remu, sub(rdv[0], RemL)))
         c.append(m(sel_remu, sub(rdv[1], RemH)))
+
+        # ---- signed M: MULH / MULHSU ----
+        # two's-complement correction: the signed 64-bit product is
+        # P - 2^32*(a31*b_u + b31*a_u) + 2^64*a31*b31, so the signed
+        # high word is (H - a31*b_u - b31*a_u) mod 2^32.  The result
+        # rides m_rem_bits (free on mul rows); the mod-2^32 wrap uses
+        # small carries t0 (ca0+cb) and t1 (c0+c1), each forced into
+        # {0..2} by the limb ranges (every sum < 3*2^16 << p).
+        # Reference semantics: risc0 rv32im circuit MULH/MULHSU
+        # (SURVEY.md §2.4).
+        AL_m = alg.gweighted(a_blk, W_LO)
+        AH_m = alg.gweighted(a_blk, W_HI)
+        BL_m = alg.gweighted(b_blk, W_LO)
+        BH_m = alg.gweighted(b_blk, W_HI)
+        ca0_c = d.data(DC.m_ca0)
+        cb_c = d.data(DC.m_cb)
+        c0b_, c1b_ = c0b, c1b
+        sel_mulh = m(is_m, f3[1])
+        sel_mulhsu = m(is_m, f3[2])
+        t0h = add(ca0_c, cb_c)
+        t1h = add(c0b_, c1b_)
+        c.append(m(sel_mulh, sub(add(add(m(a31, BL_m), m(b31, AL_m)), RemL),
+                                 add(HL, m(c16, t0h)))))
+        c.append(m(sel_mulh, sub(add(add(m(a31, BH_m), m(b31, AH_m)),
+                                     add(RemH, t0h)),
+                                 add(HH, m(c16, t1h)))))
+        c.append(m(sel_mulh, sub(rdv[0], RemL)))
+        c.append(m(sel_mulh, sub(rdv[1], RemH)))
+        c.append(m(sel_mulhsu, sub(add(m(a31, BL_m), RemL),
+                                   add(HL, m(c16, ca0_c)))))
+        c.append(m(sel_mulhsu, sub(add(m(a31, BH_m), add(RemH, ca0_c)),
+                                   add(HH, m(c16, c0b_)))))
+        c.append(m(sel_mulhsu, sub(rdv[0], RemL)))
+        c.append(m(sel_mulhsu, sub(rdv[1], RemH)))
+
+        # ---- signed M: DIV / REM ----
+        # a_bits carry the two's-complement quotient q_u, m_rem_bits the
+        # remainder r_u, sh_oh the dividend's (rs1) bit decomposition
+        # (the one-hot sum is gated off these rows).  The byte
+        # multiplier above supplies P = q_u*b_u in full 64 bits; the
+        # exact signed identity q_s*b_s + r_s = a_s is enforced mod
+        # 2^64 via sign-correction limbs — sound because every
+        # magnitude is < 2^63, so the congruence is integer equality.
+        # Special cases per the RISC-V M spec: b == 0 -> q = -1, r = a
+        # (identity then forces r = a; q forced below); overflow
+        # (-2^31 / -1) -> q = -2^31, r = 0 via the committed o flag.
+        # Reference semantics: risc0 rv32im circuit DIV/REM
+        # (SURVEY.md §2.4).
+        sbit = [d.data(DC.m_s_bits.start + i) for i in range(8)]
+        G = d.data(DC.m_g)
+        G2 = d.data(DC.m_g2)
+        alpha = d.data(DC.sh_oh.start + 31)
+        rho = d.data(DC.m_rem_bits.start + 31)
+        o_flag = sbit[2]
+        c.append(sub(G, m(selS, sub(one, o_flag))))
+        c.append(sub(G2, m(selS, sub(one, bzero))))
+        # dividend decomposition: sh_oh bits == rs1 (gives alpha = sign a)
+        c.append(m(selS, sub(rs1v[0], alg.gweighted(sh_blk, W_LO))))
+        c.append(m(selS, sub(rs1v[1], alg.gweighted(sh_blk, W_HI))))
+        # low 32 bits: P_lo + r = a + 2^32*k, carries k0/k1
+        k1s = d.data(DC.m_ca1)
+        c.append(m(selS, sub(add(RL, RemL), add(rs1v[0], m(c16, ca0_c)))))
+        c.append(m(selS, sub(add(add(RH, RemH), ca0_c),
+                             add(rs1v[1], m(c16, k1s)))))
+        # high 32 bits, gated G = selS*(1-o):
+        #   H + alpha + k1 + 2^32 = rho + corr + 2^32*e,
+        #   corr = q31*b_u + b31*q_u  (q31 = a_bits[31] here)
+        # limbed with s0 in {0..3} (c0 + 2*c1) and e in {0..2}
+        Ucorr = add(m(a31, op2[0]), m(b31, AL_m))
+        Vcorr = add(m(a31, op2[1]), m(b31, AH_m))
+        s0s = add(c0b_, add(c1b_, c1b_))
+        e_s = add(sbit[0], add(sbit[1], sbit[1]))
+        c217 = alg.const(1 << 17)
+        c.append(m(G, sub(add(add(HL, add(alpha, k1s)), c217),
+                          add(add(rho, Ucorr), m(c16, s0s)))))
+        c.append(m(G, sub(add(add(HH, s0s), c16),
+                          add(add(Vcorr, two), m(c16, e_s)))))
+        # sign(r) == sign(a) unless r == 0
+        c.append(m(selS, m(sub(alpha, rho), RemL)))
+        c.append(m(selS, m(sub(alpha, rho), RemH)))
+        # b == 0 forces q = -1 (all 32 quotient bits set)
+        c32_ = alg.const(32)
+        c.append(m(selS, m(bzero, sub(c32_, alg.gsum(a_blk)))))
+        # o == 1 forces a == -2^31, b == -1, q == -2^31, r == 0
+        low31 = np.array([1 if i < 31 else 0 for i in range(32)],
+                         dtype=np.int64)
+        sh_low31 = alg.gweighted(sh_blk, low31)
+        a_low31 = alg.gweighted(a_blk, low31)
+        c.append(m(selS, m(o_flag, add(sh_low31, sub(one, alpha)))))
+        c.append(m(selS, m(o_flag, sub(c32_, alg.gsum(b_blk)))))
+        c.append(m(selS, m(o_flag, add(a_low31, sub(one, a31)))))
+        c.append(m(selS, m(o_flag, add(RemL, RemH))))
+        # |r| < |b| when b != 0, by sign case (rho, b31); slack D rides
+        # m_d_bits, carries ride s_bits[3..5)
+        cA, cB = sbit[3], sbit[4]
+        n_rho, n_tau = sub(one, rho), sub(one, b31)
+        case00 = m(n_rho, n_tau)  # r >= 0, b > 0:  r + 1 + D = b
+        case01 = m(n_rho, b31)    # r >= 0, b < 0:  r + b + 1 + D = 2^32
+        case10 = m(rho, n_tau)    # r < 0,  b > 0:  r + b = 2^32 + 1 + D
+        case11 = m(rho, b31)      # r < 0,  b < 0:  b + 1 + D = r
+        c.append(m(G2, m(case00, sub(add(add(RemL, one), DL_),
+                                     add(op2[0], m(c16, cA))))))
+        c.append(m(G2, m(case00, sub(add(add(RemH, DH_), cA), op2[1]))))
+        c.append(m(G2, m(case01, sub(add(add(add(RemL, op2[0]), one), DL_),
+                                     m(c16, add(one, cA))))))
+        c.append(m(G2, m(case01, sub(add(add(add(RemH, op2[1]), DH_),
+                                         add(one, cA)),
+                                     c16))))
+        g0p = add(cA, add(cB, cB))
+        c.append(m(G2, m(case10, sub(add(add(RemL, op2[0]), c16),
+                                     add(add(one, DL_), m(c16, g0p))))))
+        c.append(m(G2, m(case10, sub(add(add(RemH, op2[1]), g0p),
+                                     add(add(DH_, c16), one)))))
+        c.append(m(G2, m(case11, sub(add(add(op2[0], one), DL_),
+                                     add(RemL, m(c16, cA))))))
+        c.append(m(G2, m(case11, sub(add(add(op2[1], DH_), cA), RemH))))
+        # DIV result: q; REM result: r (both cover the special cases)
+        sel_div = m(is_m, f3[4])
+        sel_rem = m(is_m, f3[6])
+        c.append(m(sel_div, sub(rdv[0], AL_m)))
+        c.append(m(sel_div, sub(rdv[1], AH_m)))
+        c.append(m(sel_rem, sub(rdv[0], RemL)))
+        c.append(m(sel_rem, sub(rdv[1], RemH)))
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])

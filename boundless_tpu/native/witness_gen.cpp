@@ -28,6 +28,7 @@ struct Layout {
   int32_t is_m, is_shift_col, is_slt_col, is_logic_col;
   int32_t m_hi_bits, m_carry_bits;
   int32_t m_rem_bits, m_d_bits, m_ca0, m_ca1, m_cb, m_bzero, m_binv;
+  int32_t m_s_bits, m_g, m_g2;
 };
 
 uint64_t modpow(uint64_t b, uint64_t e, uint64_t m) {
@@ -219,7 +220,7 @@ extern "C" int bt_trace_cycles(
     r[L.op2 + 1] = op2 >> 16;
 
     bool is_m = d.sel[8] && d.mext;
-    bool is_mdiv = is_m && (d.f3 == 5 || d.f3 == 7);
+    bool is_mdiv = is_m && d.f3 >= 4;  // any div/rem: a_bits carry q
     r[L.is_m] = is_m ? 1 : 0;
     bool is_alu = d.sel[7] || d.sel[8];
     r[L.is_shift_col] =
@@ -379,13 +380,24 @@ extern "C" int bt_trace_cycles(
         if (!push_op(2 * (int64_t)clk + 1, waddr, 1, merged))
           return fail(err, err_len, "mem ops overflow"), 1;
       }
-    } else if (is_m) {  // M extension (unsigned subset)
-      if (!(d.f3 == 0 || d.f3 == 3 || d.f3 == 5 || d.f3 == 7))
-        return fail(err, err_len, "signed mulh/div/rem not provable"), 1;
+    } else if (is_m) {  // M extension (all 8 ops)
+      int a31m = (rs1v >> 31) & 1, b31m = (op2 >> 31) & 1;
+      bool is_div = d.f3 >= 4;
       uint32_t q = 0, rem = 0, mul_a;
-      if (is_mdiv) {
-        if (op2 != 0) { q = rs1v / op2; rem = rs1v % op2; }
-        else { q = 0; rem = rs1v; }
+      if (is_div) {
+        if (d.f3 == 5 || d.f3 == 7) {  // DIVU / REMU
+          if (op2 != 0) { q = rs1v / op2; rem = rs1v % op2; }
+          else { q = 0; rem = rs1v; }
+        } else {  // DIV / REM (signed, truncating)
+          int64_t sa = (int32_t)rs1v, sb = (int32_t)op2;
+          if (sb == 0) { q = M32; rem = rs1v; }
+          else if (sa == INT32_MIN && sb == -1) { q = 0x80000000u; rem = 0; }
+          else {
+            int64_t qs = sa / sb;  // C++ division truncates toward zero
+            q = (uint32_t)qs;
+            rem = (uint32_t)(sa - qs * sb);
+          }
+        }
         mul_a = q;
       } else {
         mul_a = rs1v;
@@ -411,21 +423,93 @@ extern "C" int bt_trace_cycles(
         for (int i = 0; i < 11; i++)
           r[L.m_carry_bits + 11 * k2 + i] = (carry >> i) & 1;
       }
-      if (is_mdiv) {
+      if (is_div) {
         for (int i = 0; i < 32; i++) r[L.m_rem_bits + i] = (rem >> i) & 1;
         int bz = op2 == 0 ? 1 : 0;
         r[L.m_bzero] = bz;
         uint32_t s = (op2 & 0xFFFF) + (op2 >> 16);
         r[L.m_binv] = s ? (int64_t)modpow(s % FP, FP - 2, FP) : 0;
-        r[L.m_ca0] = (((lo & 0xFFFF) + (rem & 0xFFFF)) >> 16) ? 1 : 0;
-        if (!bz) {
-          uint32_t dd = op2 - 1 - rem;
-          for (int i = 0; i < 32; i++) r[L.m_d_bits + i] = (dd >> i) & 1;
-          r[L.m_cb] = (((rem & 0xFFFF) + (dd & 0xFFFF) + 1) >> 16) ? 1 : 0;
+        uint32_t k0 = ((lo & 0xFFFF) + (rem & 0xFFFF)) >> 16;
+        r[L.m_ca0] = (int64_t)k0;
+        if (d.f3 == 5 || d.f3 == 7) {
+          if (!bz) {
+            uint32_t dd = op2 - 1 - rem;
+            for (int i = 0; i < 32; i++) r[L.m_d_bits + i] = (dd >> i) & 1;
+            r[L.m_cb] = (((rem & 0xFFFF) + (dd & 0xFFFF) + 1) >> 16) ? 1 : 0;
+          }
+          rdv = d.f3 == 5 ? (op2 == 0 ? M32 : q) : rem;
+        } else {  // DIV / REM signed bookkeeping
+          for (int i = 0; i < 32; i++) r[L.sh_oh + i] = (rs1v >> i) & 1;
+          sh_set = 1;
+          uint32_t k1 =
+              ((lo >> 16) + (rem >> 16) + k0 - (rs1v >> 16)) >> 16;
+          r[L.m_ca1] = (int64_t)k1;
+          int rho = (rem >> 31) & 1;
+          int o = (rs1v == 0x80000000u && op2 == 0xFFFFFFFFu) ? 1 : 0;
+          r[L.m_s_bits + 2] = o;
+          r[L.m_g] = 1 - o;
+          r[L.m_g2] = 1 - bz;
+          if (!o) {
+            uint32_t q31 = (q >> 31) & 1;
+            uint32_t U = q31 * (op2 & 0xFFFF) + b31m * (q & 0xFFFF);
+            uint32_t V = q31 * (op2 >> 16) + b31m * (q >> 16);
+            uint32_t s0 =
+                ((hi & 0xFFFF) + a31m + k1 + (1u << 17) - rho - U) >> 16;
+            c0 = s0 & 1;
+            c1 = s0 >> 1;
+            uint32_t e = ((hi >> 16) + s0 + (1u << 16) - V - 2) >> 16;
+            r[L.m_s_bits] = e & 1;
+            r[L.m_s_bits + 1] = e >> 1;
+          }
+          if (!bz) {
+            uint64_t dd;
+            uint32_t cA, cB = 0;
+            if (rho == 0 && b31m == 0) {
+              dd = (uint64_t)op2 - 1 - rem;
+              cA = ((rem & 0xFFFF) + 1 + (uint32_t)(dd & 0xFFFF)) >> 16;
+            } else if (rho == 0 && b31m == 1) {
+              dd = (1ull << 32) - 1 - rem - op2;
+              cA = (((rem & 0xFFFF) + (op2 & 0xFFFF) + 1 +
+                     (uint32_t)(dd & 0xFFFF)) >> 16) - 1;
+            } else if (rho == 1 && b31m == 0) {
+              dd = (uint64_t)rem + op2 - (1ull << 32) - 1;
+              uint32_t g0 = ((rem & 0xFFFF) + (op2 & 0xFFFF) +
+                             (1u << 16) - 1 - (uint32_t)(dd & 0xFFFF)) >> 16;
+              cA = g0 & 1;
+              cB = g0 >> 1;
+            } else {
+              dd = (uint64_t)rem - 1 - op2;
+              cA = ((op2 & 0xFFFF) + 1 + (uint32_t)(dd & 0xFFFF)) >> 16;
+            }
+            for (int i = 0; i < 32; i++)
+              r[L.m_d_bits + i] = (int64_t)((dd >> i) & 1);
+            r[L.m_s_bits + 3] = cA;
+            r[L.m_s_bits + 4] = cB;
+          }
+          rdv = d.f3 == 4 ? q : rem;
         }
-        rdv = d.f3 == 5 ? (op2 == 0 ? M32 : q) : rem;
-      } else {
+      } else if (d.f3 == 0 || d.f3 == 3) {
         rdv = d.f3 == 0 ? lo : hi;
+      } else {  // MULH (1) / MULHSU (2): signed high word
+        uint32_t use_b = d.f3 == 1 ? 1 : 0;
+        uint64_t corr = (uint64_t)a31m * op2 + (uint64_t)use_b * b31m * rs1v;
+        uint32_t res = (uint32_t)(hi - corr);
+        for (int i = 0; i < 32; i++) r[L.m_rem_bits + i] = (res >> i) & 1;
+        uint32_t corr_lo =
+            a31m * (op2 & 0xFFFF) + use_b * b31m * (rs1v & 0xFFFF);
+        uint32_t t0 = (corr_lo + (res & 0xFFFF) - (hi & 0xFFFF)) >> 16;
+        uint32_t corr_hi = a31m * (op2 >> 16) + use_b * b31m * (rs1v >> 16);
+        uint32_t t1 = (corr_hi + (res >> 16) + t0 - (hi >> 16)) >> 16;
+        if (d.f3 == 1) {
+          r[L.m_ca0] = t0 >= 1 ? 1 : 0;
+          r[L.m_cb] = t0 >= 2 ? 1 : 0;
+          c0 = t1 >= 1 ? 1 : 0;
+          c1 = t1 >= 2 ? 1 : 0;
+        } else {
+          r[L.m_ca0] = (int64_t)t0;
+          c0 = (int)t1;
+        }
+        rdv = res;
       }
     } else if (d.sel[7] || d.sel[8]) {  // ALU
       switch (d.f3) {

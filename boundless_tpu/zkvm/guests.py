@@ -111,6 +111,38 @@ start:
     ecall
 """
 
+# signed_m: read a, b; commit mulh/mulhsu/div/rem results (signed M
+# extension in-circuit; edge cases driven from the test inputs).
+SIGNED_M_SRC = """
+start:
+    li t0, 2
+    ecall
+    mv a2, a0           # a
+    li t0, 2
+    ecall
+    mv a3, a0           # b
+    mulh a4, a2, a3
+    mulhsu a5, a2, a3
+    div a6, a2, a3
+    rem a7, a2, a3
+    mv a0, a4
+    li t0, 1
+    ecall
+    mv a0, a5
+    li t0, 1
+    ecall
+    mv a0, a6
+    li t0, 1
+    ecall
+    mv a0, a7
+    li t0, 1
+    ecall
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+
 # memtest: exercises RAM (sw/lw): stores input words to a buffer, reads
 # them back in reverse, commits. Tests the sorted-memory argument.
 SUBWORD_SRC = """
@@ -232,6 +264,10 @@ def auipc_guest() -> MemoryImage:
 
 def subword_guest() -> MemoryImage:
     return build(SUBWORD_SRC)
+
+
+def signed_m_guest() -> MemoryImage:
+    return build(SIGNED_M_SRC)
 
 
 def words(ints):

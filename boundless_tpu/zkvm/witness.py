@@ -214,7 +214,7 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         row[DC.op2.start], row[DC.op2.start + 1] = op2 & 0xFFFF, op2 >> 16
 
         is_m = bool(sel[8] and mext)
-        is_mdiv = is_m and f3 in (5, 7)
+        is_mdiv = is_m and f3 >= 4  # any div/rem: a_bits carry q
         row[DC.is_m] = 1 if is_m else 0
         is_alu = sel[7] or sel[8]
         row[DC.is_shift_col] = 1 if (is_alu and not is_m
@@ -344,22 +344,32 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
                 mem[base] = merged
                 row[DC.a_bits.start : DC.a_bits.stop] = _bits(merged)
                 mem_ops.append((2 * clk + 1, waddr, 1, merged))
-        elif is_m:  # M extension (unsigned subset in-circuit)
-            if f3 not in (0, 3, 5, 7):
-                raise GuestFault(
-                    "signed mulh/div/rem are not provable in v1")
-            if is_mdiv:
-                if op2 != 0:
-                    q, r = rs1v // op2, rs1v % op2
-                else:
-                    q, r = 0, rs1v  # q free when b=0; witness picks 0
+        elif is_m:  # M extension (all 8 ops in-circuit)
+            a31m, b31m = (rs1v >> 31) & 1, (op2 >> 31) & 1
+            is_div = f3 >= 4
+            if is_div:
+                if f3 in (5, 7):  # DIVU / REMU
+                    if op2 != 0:
+                        q, r = rs1v // op2, rs1v % op2
+                    else:
+                        q, r = 0, rs1v  # q free when b=0; witness picks 0
+                else:  # DIV / REM (signed, truncating)
+                    sa, sb = _signed(rs1v), _signed(op2)
+                    if sb == 0:
+                        q, r = M32, rs1v  # q = -1, r = a
+                    elif sa == -(1 << 31) and sb == -1:
+                        q, r = 0x80000000, 0  # overflow
+                    else:
+                        qs = abs(sa) // abs(sb)
+                        if (sa < 0) != (sb < 0):
+                            qs = -qs
+                        q, r = qs & M32, (sa - qs * sb) & M32
                 mul_a = q
+                row[DC.a_bits.start : DC.a_bits.stop] = _bits(q)
             else:
                 q = r = 0
                 mul_a = rs1v
                 row[DC.a_bits.start : DC.a_bits.stop] = _bits(rs1v)
-            if is_mdiv:
-                row[DC.a_bits.start : DC.a_bits.stop] = _bits(q)
             prod = mul_a * op2
             lo, hi = prod & M32, prod >> 32
             r32 = lo
@@ -379,23 +389,101 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
                 row[DC.m_carry_bits.start + 11 * k :
                     DC.m_carry_bits.start + 11 * (k + 1)] = _bits(carry, 11)
             assert carry == rbytes[7]
-            if is_mdiv:
+            if is_div:
                 row[DC.m_rem_bits.start : DC.m_rem_bits.stop] = _bits(r)
                 bzero = 1 if op2 == 0 else 0
                 row[DC.m_bzero] = bzero
                 s = (op2 & 0xFFFF) + (op2 >> 16)
                 row[DC.m_binv] = pow(s % F.P, F.P - 2, F.P) if s else 0
-                # qb + r = a carries
-                row[DC.m_ca0] = 1 if ((lo & 0xFFFF) + (r & 0xFFFF)
-                                      ) >> 16 else 0
-                if not bzero:
-                    d = op2 - 1 - r
-                    row[DC.m_d_bits.start : DC.m_d_bits.stop] = _bits(d)
-                    row[DC.m_cb] = 1 if ((r & 0xFFFF) + (d & 0xFFFF) + 1
-                                         ) >> 16 else 0
-                rdv = (M32 if bzero else q) if f3 == 5 else r
-            else:
+                # qb + r = a carry, limb 0 (shared by both families)
+                k0 = ((lo & 0xFFFF) + (r & 0xFFFF)) >> 16
+                row[DC.m_ca0] = k0
+                if f3 in (5, 7):
+                    if not bzero:
+                        d = op2 - 1 - r
+                        row[DC.m_d_bits.start : DC.m_d_bits.stop] = _bits(d)
+                        row[DC.m_cb] = 1 if ((r & 0xFFFF) + (d & 0xFFFF) + 1
+                                             ) >> 16 else 0
+                    rdv = (M32 if bzero else q) if f3 == 5 else r
+                else:  # DIV / REM signed bookkeeping
+                    # sh_oh holds the dividend's bit decomposition
+                    row[DC.sh_oh.start : DC.sh_oh.stop] = _bits(rs1v)
+                    sh_set = True
+                    k1 = ((lo >> 16) + (r >> 16) + k0 - (rs1v >> 16)) >> 16
+                    row[DC.m_ca1] = k1
+                    rho = (r >> 31) & 1
+                    o = 1 if (rs1v == 0x80000000
+                              and op2 == 0xFFFFFFFF) else 0
+                    row[DC.m_s_bits.start + 2] = o
+                    row[DC.m_g] = 1 - o
+                    row[DC.m_g2] = 1 - bzero
+                    if not o:
+                        # high-word identity: H + alpha + k1 + 2^32 =
+                        # rho + q31*b + b31*q + 2^32*e, limbed via s0
+                        q31 = (q >> 31) & 1
+                        U = q31 * (op2 & 0xFFFF) + b31m * (q & 0xFFFF)
+                        V = q31 * (op2 >> 16) + b31m * (q >> 16)
+                        num0 = ((hi & 0xFFFF) + a31m + k1
+                                + (1 << 17) - rho - U)
+                        assert num0 % (1 << 16) == 0
+                        s0 = num0 >> 16
+                        assert 0 <= s0 <= 3
+                        c0, c1 = s0 & 1, s0 >> 1
+                        e = ((hi >> 16) + s0 + (1 << 16) - V - 2) >> 16
+                        assert 0 <= e <= 2
+                        row[DC.m_s_bits.start] = e & 1
+                        row[DC.m_s_bits.start + 1] = e >> 1
+                    if not bzero:
+                        # |r| < |b| comparison, by sign case (rho, b31)
+                        if rho == 0 and b31m == 0:
+                            dd = op2 - 1 - r
+                            cA = ((r & 0xFFFF) + 1 + (dd & 0xFFFF)) >> 16
+                            cB = 0
+                        elif rho == 0 and b31m == 1:
+                            dd = (1 << 32) - 1 - r - op2
+                            cA = (((r & 0xFFFF) + (op2 & 0xFFFF) + 1
+                                   + (dd & 0xFFFF)) >> 16) - 1
+                            cB = 0
+                        elif rho == 1 and b31m == 0:
+                            dd = r + op2 - (1 << 32) - 1
+                            g0 = ((r & 0xFFFF) + (op2 & 0xFFFF)
+                                  + (1 << 16) - 1 - (dd & 0xFFFF)) >> 16
+                            cA, cB = g0 & 1, g0 >> 1
+                        else:
+                            dd = r - 1 - op2
+                            cA = ((op2 & 0xFFFF) + 1
+                                  + (dd & 0xFFFF)) >> 16
+                            cB = 0
+                        assert 0 <= dd < (1 << 32)
+                        row[DC.m_d_bits.start : DC.m_d_bits.stop] = \
+                            _bits(dd)
+                        row[DC.m_s_bits.start + 3] = cA
+                        row[DC.m_s_bits.start + 4] = cB
+                    rdv = q if f3 == 4 else r
+            elif f3 in (0, 3):
                 rdv = lo if f3 == 0 else hi
+            else:  # MULH (1) / MULHSU (2): signed high word
+                use_b = 1 if f3 == 1 else 0  # MULHSU: b unsigned
+                corr = a31m * op2 + use_b * b31m * rs1v
+                res = (hi - corr) & M32
+                row[DC.m_rem_bits.start : DC.m_rem_bits.stop] = _bits(res)
+                corr_lo = (a31m * (op2 & 0xFFFF)
+                           + use_b * b31m * (rs1v & 0xFFFF))
+                t0 = (corr_lo + (res & 0xFFFF) - (hi & 0xFFFF)) >> 16
+                corr_hi = (a31m * (op2 >> 16)
+                           + use_b * b31m * (rs1v >> 16))
+                t1 = (corr_hi + (res >> 16) + t0 - (hi >> 16)) >> 16
+                if f3 == 1:
+                    assert 0 <= t0 <= 2 and 0 <= t1 <= 2
+                    row[DC.m_ca0] = 1 if t0 >= 1 else 0
+                    row[DC.m_cb] = 1 if t0 >= 2 else 0
+                    c0 = 1 if t1 >= 1 else 0
+                    c1 = 1 if t1 >= 2 else 0
+                else:
+                    assert 0 <= t0 <= 1 and 0 <= t1 <= 1
+                    row[DC.m_ca0] = t0
+                    c0 = t1
+                rdv = res
         elif sel[7] or sel[8]:  # ALU
             if f3 == 0:
                 if alt:
@@ -571,6 +659,7 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
         DC.m_hi_bits.start,
         DC.m_carry_bits.start, DC.m_rem_bits.start, DC.m_d_bits.start,
         DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero, DC.m_binv,
+        DC.m_s_bits.start, DC.m_g, DC.m_g2,
     ], dtype=np.int32)
 
     img_items = sorted(image.words.items())

@@ -50,6 +50,15 @@ def test_subword_parity():
     both(guests.subword_guest(), b"")
 
 
+@pytest.mark.parametrize("a,b", [
+    (7, 3), (0xFFFFFFF9, 3), (0xFFFFFFF9, 0xFFFFFFFD), (7, 0),
+    (0x80000000, 0xFFFFFFFF), (0x80000000, 1), (5, 0xFFFFFFFF),
+    (0xDEADBEEF, 0xCAFEBABE),
+])
+def test_signed_m_parity(a, b):
+    both(guests.signed_m_guest(), guests.words([a, b]))
+
+
 def test_alu_parity():
     src = """
     start:

@@ -240,24 +240,129 @@ def test_prove_verify_muldiv_e2e():
     assert prove.verify_segment(receipt, ps=prove.TEST_PS)
 
 
-def test_signed_m_variants_unprovable():
-    """mulh/div/rem (signed) are executor-only: witness gen must fault."""
-    src = """
-    start:
-        li a0, 7
-        li a1, 3
-        div a2, a0, a1
-        li t0, 0
-        li a0, 0
-        ecall
-    """
-    from boundless_tpu.zkvm.executor import GuestFault
+@pytest.mark.slow
+def test_prove_verify_signed_m_e2e():
+    """Full STARK round-trip over a segment with signed M ops."""
+    ex = Executor(guests.signed_m_guest(),
+                  guests.words([0xFFFFFFF9, 3]), segment_po2=PO2)
+    res = ex.run()
+    receipt = prove.prove_segment(guests.signed_m_guest(),
+                                  res.segments[0], ps=prove.TEST_PS)
+    assert prove.verify_segment(receipt, ps=prove.TEST_PS)
 
-    img = guests.build(src)
-    ex = Executor(img, b"", segment_po2=PO2)
-    res = ex.run()  # executor handles it fine (preflight parity)
+
+def _signed_m_ref(a, b):
+    """Reference MULH/MULHSU/DIV/REM per the RISC-V spec."""
+    M = 0xFFFFFFFF
+    sa = a - (1 << 32) if a >> 31 else a
+    sb = b - (1 << 32) if b >> 31 else b
+    mulh = ((sa * sb) >> 32) & M
+    mulhsu = ((sa * b) >> 32) & M
+    if sb == 0:
+        q, r = M, a
+    elif sa == -(1 << 31) and sb == -1:
+        q, r = 0x80000000, 0
+    else:
+        qs = abs(sa) // abs(sb)
+        if (sa < 0) != (sb < 0):
+            qs = -qs
+        q, r = qs & M, (sa - qs * sb) & M
+    return [mulh, mulhsu, q, r]
+
+
+SIGNED_M_CASES = [
+    (7, 3), (7, 0xFFFFFFFD), (0xFFFFFFF9, 3), (0xFFFFFFF9, 0xFFFFFFFD),
+    (7, 0), (0xFFFFFFF9, 0),                   # div by zero, both signs
+    (0x80000000, 0xFFFFFFFF),                  # overflow -2^31 / -1
+    (0x80000000, 1), (0x80000000, 3),          # minimum dividend
+    (0, 5), (0, 0xFFFFFFFB), (5, 0xFFFFFFFF),  # zero / negative divisors
+    (0xDEADBEEF, 0xCAFEBABE), (1, 0x80000000),
+]
+
+
+@pytest.mark.parametrize("a,b", SIGNED_M_CASES)
+def test_signed_m_witness_satisfies_air(a, b):
+    """mulh/mulhsu/div/rem in-circuit, incl. RISC-V special cases."""
+    res, _ = check(guests.signed_m_guest(), guests.words([a, b]))
     assert res.exit_code == 0
-    with pytest.raises(GuestFault):
-        witness.trace_segment(img, res.segments[0], PO2)
-    with pytest.raises(GuestFault):
-        witness.trace_segment_native(img, res.segments[0], PO2)
+    assert res.journal == guests.words(_signed_m_ref(a, b))
+
+
+def test_signed_div_tampered_quotient_fails():
+    """Corrupting the committed quotient must violate the AIR."""
+    res, w = run_and_witness(guests.signed_m_guest(),
+                             guests.words([0xFFFFFFF9, 3]))  # -7 / 3
+    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 4])[0]
+    assert rows.size == 1
+    for col in (DC.a_bits.start,          # quotient bit
+                DC.rdv.start,             # committed result limb
+                DC.m_rem_bits.start):     # remainder bit
+        bad = w.data.copy()
+        bad[rows[0], col] = (bad[rows[0], col] + 1) % F.P
+        pub = witness.to_public_values(w.pub)
+        ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+        assert not ok, f"tamper at col {col} went undetected"
+
+
+def test_signed_div_wrong_rounding_fails():
+    """-7/3: floor rounding (q=-3, r=2) satisfies q*b + r = a and
+    |r| < |b|, but breaks sign(r) == sign(a) — only truncation
+    (q=-2, r=-1) is provable.  The fake witness is made consistent for
+    every OTHER constraint (product chain, carries, comparison), so
+    the sign condition alone must catch it."""
+    res, w = run_and_witness(guests.signed_m_guest(),
+                             guests.words([0xFFFFFFF9, 3]))
+    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 4])[0]
+    r0 = rows[0]
+    bad = w.data.copy()
+    qf, rf, b = (-3) & 0xFFFFFFFF, 2, 3  # floor-division witness
+    prod = qf * b
+    lo, hi = prod & 0xFFFFFFFF, prod >> 32
+    bits = lambda v, n=32: [(v >> i) & 1 for i in range(n)]
+    bad[r0, DC.a_bits.start : DC.a_bits.stop] = bits(qf)
+    bad[r0, DC.m_rem_bits.start : DC.m_rem_bits.stop] = bits(rf)
+    bad[r0, DC.r_bits.start : DC.r_bits.stop] = bits(lo)
+    bad[r0, DC.m_hi_bits.start : DC.m_hi_bits.stop] = bits(hi)
+    abytes = [(qf >> (8 * i)) & 0xFF for i in range(4)]
+    bbytes = [(b >> (8 * i)) & 0xFF for i in range(4)]
+    carry = 0
+    for k in range(7):
+        ck = sum(abytes[i] * bbytes[k - i]
+                 for i in range(max(0, k - 3), min(4, k + 1)))
+        carry = (ck + carry) >> 8
+        bad[r0, DC.m_carry_bits.start + 11 * k :
+            DC.m_carry_bits.start + 11 * (k + 1)] = bits(carry, 11)
+    a_u = 0xFFFFFFF9
+    k0 = ((lo & 0xFFFF) + (rf & 0xFFFF)) >> 16
+    k1 = ((lo >> 16) + (rf >> 16) + k0 - (a_u >> 16)) >> 16
+    bad[r0, DC.m_ca0], bad[r0, DC.m_ca1] = k0, k1
+    alpha, rho, q31, b31 = 1, 0, (qf >> 31) & 1, 0
+    U = q31 * (b & 0xFFFF)
+    V = q31 * (b >> 16)
+    s0 = ((hi & 0xFFFF) + alpha + k1 + (1 << 17) - rho - U) >> 16
+    bad[r0, DC.c0], bad[r0, DC.c1] = s0 & 1, s0 >> 1
+    e = ((hi >> 16) + s0 + (1 << 16) - V - 2) >> 16
+    bad[r0, DC.m_s_bits.start] = e & 1
+    bad[r0, DC.m_s_bits.start + 1] = e >> 1
+    dd = b - 1 - rf  # case (rho=0, b31=0): r + 1 + D = b
+    bad[r0, DC.m_d_bits.start : DC.m_d_bits.stop] = bits(dd)
+    bad[r0, DC.m_s_bits.start + 3] = ((rf & 0xFFFF) + 1
+                                      + (dd & 0xFFFF)) >> 16
+    bad[r0, DC.rdv.start] = qf & 0xFFFF
+    bad[r0, DC.rdv.start + 1] = qf >> 16
+    pub = witness.to_public_values(w.pub)
+    ok, failures = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad),
+                                           pub)
+    assert not ok
+
+
+def test_mulh_tampered_result_fails():
+    res, w = run_and_witness(guests.signed_m_guest(),
+                             guests.words([0xFFFFFFF9, 3]))
+    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 1])[0]
+    assert rows.size == 1
+    bad = w.data.copy()
+    bad[rows[0], DC.rdv.start] = (bad[rows[0], DC.rdv.start] + 1) % F.P
+    pub = witness.to_public_values(w.pub)
+    ok, _ = debug.check_constraints(AIR, F.fp(w.ctrl), F.fp(bad), pub)
+    assert not ok
