@@ -31,7 +31,7 @@ from boundless_tpu.zkvm import guests, witness, prove  # noqa: E402
 from boundless_tpu.zkvm.executor import Executor  # noqa: E402
 
 PO2 = int(os.environ.get("BENCH_PO2", "17"))
-PS = stark.ProofSystem(queries=50, fri_min_degree=256)
+PS = prove.DEFAULT_PS  # 100 queries @ commit rate 1/2 (~100-bit conj.)
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # vmap'd segments per call
 

@@ -125,8 +125,9 @@ def cmd_cluster_serve(args):
                                 "join": 1, "aux": 1, "snark": 1})
     ps_cfg = cfg.get("proof_system", {})
     ps = stark.ProofSystem(
-        queries=int(ps_cfg.get("queries", 50)),
-        fri_min_degree=int(ps_cfg.get("fri_min_degree", 256)))
+        queries=int(ps_cfg.get("queries", 100)),
+        fri_min_degree=int(ps_cfg.get("fri_min_degree", 256)),
+        commit_expand=int(ps_cfg.get("commit_expand", 2)))
     ctx = ClusterContext(
         db=MemoryBackend(),
         hot=HotStore(float(cfg.get("hot_store_ttl_secs", 28800))),

@@ -99,9 +99,10 @@ class FriProof(NamedTuple):
     final_coeffs: jnp.ndarray  # (final_degree, 4) ext coefficients
 
 
-def num_rounds(m: int, min_degree: int = FRI_MIN_DEGREE) -> int:
+def num_rounds(m: int, min_degree: int = FRI_MIN_DEGREE,
+               inv_rate: int = INV_RATE) -> int:
     rounds = 0
-    degree = m // INV_RATE
+    degree = m // inv_rate
     while degree > min_degree:
         rounds += 1
         degree //= FRI_FOLD
@@ -109,8 +110,9 @@ def num_rounds(m: int, min_degree: int = FRI_MIN_DEGREE) -> int:
 
 
 def prove(tr: Transcript, evals, queries: int = QUERIES,
-          min_degree: int = FRI_MIN_DEGREE):
-    """FRI-prove that `evals` ((M,4) ext, on GENERATOR*H_M) has degree < M/4.
+          min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE):
+    """FRI-prove that `evals` ((M,4) ext, on GENERATOR*H_M) has degree
+    < M/inv_rate.
 
     Returns (FriProof, round0_query_indices) — callers open their own
     commitments at the same indices.
@@ -120,7 +122,7 @@ def prove(tr: Transcript, evals, queries: int = QUERIES,
     trees = []
     cur = evals
     cur_m, cur_shift = m, shift
-    for _ in range(num_rounds(m, min_degree)):
+    for _ in range(num_rounds(m, min_degree, inv_rate)):
         tree = merkle.commit(_group_matrix(cur, cur_m))
         trees.append(tree)
         tr.mix_digest(tree.root)
@@ -137,7 +139,7 @@ def prove(tr: Transcript, evals, queries: int = QUERIES,
         (_np_powers(pow(cur_shift, F.P - 2, F.P), cur_m) * (1 << 32) % F.P
          ).astype(np.uint32))
     coeffs = F.mul(coeffs, unshift[:, None])
-    final_coeffs = coeffs[: cur_m // INV_RATE]
+    final_coeffs = coeffs[: cur_m // inv_rate]
     tr.mix_elems(final_coeffs)
 
     # Query phase.
@@ -160,7 +162,7 @@ def prove(tr: Transcript, evals, queries: int = QUERIES,
 
 
 def verify(tr: Transcript, proof: FriProof, m: int, queries: int = QUERIES,
-           min_degree: int = FRI_MIN_DEGREE):
+           min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE):
     """Replay the transcript and check the FRI proof.
 
     Returns (ok, indices, round0_values) where round0_values[(q,)] is the
@@ -168,7 +170,7 @@ def verify(tr: Transcript, proof: FriProof, m: int, queries: int = QUERIES,
     caller (DEEP-ALI verifier) must check these against values it derives
     from the trace openings.
     """
-    rounds = num_rounds(m, min_degree)
+    rounds = num_rounds(m, min_degree, inv_rate)
     assert len(proof.round_roots) == rounds
     alphas = []
     for root in proof.round_roots:

@@ -6,14 +6,17 @@ core (CUDA kernels in `risc0-sys`/`risc0-circuit-*-sys`; call-site
 
 Protocol shape (risc0-style, self-consistent parameterization):
 
-  trace groups ctrl/data/accum on H_N  →  rate-1/4 LDE on coset g*H_{4N}
-  → Poseidon2 Merkle commitments → constraint mix α (ext) → composition
-  Q(x) = Σ_k α^k C_k(T(x), T(gx)) / (x^N - 1), split into 4 polys Q_i of
-  degree < N committed as 16 base columns → DEEP point z (ext): open taps
-  T_j(z), T_j(z·g_N), Q_i(z^4) → DEEP batch mix β → combined quotient
-  combo(x) = Σ_j β^j (P_j(x) - P_j(p_j)) / (x - p_j) → FRI low-degree
-  proof (fold 16, 50 queries, rate 1/4) with Merkle openings of every
-  group at the FRI query points.
+  trace groups ctrl/data/accum on H_N  →  LDE on coset g*H_{4N}
+  (constraint-evaluation grid) with Poseidon2 Merkle commitments over the
+  rate-1/commit_expand subdomain g*H_{cN} → constraint mix α (ext) →
+  composition Q(x) = Σ_k α^k C_k(T(x), T(gx)) / (x^N - 1) (evaluated on
+  the full 4N grid — deg Q ≤ 4N-5), split into 4 polys Q_i of degree < N
+  committed as 16 base columns → DEEP point z (ext): open taps T_j(z),
+  T_j(z·g_N), Q_i(z^4) → DEEP batch mix β → combined quotient
+  combo(x) = Σ_j β^j (P_j(x) - P_j(p_j)) / (x - p_j) on the commit domain
+  → FRI low-degree proof (fold 16; default 100 queries at rate 1/2,
+  ~100-bit conjectured, hash-work-optimal — see ProofSystem) with Merkle
+  openings of every group at the FRI query points.
 
 The entire `prove` (and `verify`) traces into a single XLA program:
 transcript, hashing, NTTs, constraint evaluation, FRI — there is no
@@ -47,8 +50,22 @@ CHECK_COLS = CHECK_SPLIT * EXT  # 16 base columns
 
 @dataclasses.dataclass(frozen=True)
 class ProofSystem:
-    queries: int = 50
+    """STARK parameterization.
+
+    `commit_expand` is the *commitment* blowup (domain = commit_expand*N;
+    code rate 1/commit_expand). Constraint evaluation always runs on the
+    4N grid (the composition polynomial has degree ≤ 4N-5 regardless), but
+    Merkle hashing — the TPU prover's dominant cost — scales with the
+    commitment domain, so rate 1/2 commits half the rows of rate 1/4.
+    Conjectured FRI soundness is ~queries*log2(commit_expand) bits: the
+    default (100 queries at rate 1/2) matches the reference's 50 queries
+    at rate 1/4 (~100 bits; risc0 `risc0-zkp` defaults, SURVEY.md §2.4)
+    while halving prover hash work.
+    """
+
+    queries: int = 100
     fri_min_degree: int = 256
+    commit_expand: int = 2  # 2 = rate 1/2, 4 = rate 1/4 (reference-shaped)
 
 
 class GroupOpening(NamedTuple):
@@ -79,11 +96,18 @@ class SegmentProof(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _lde_commit(trace):
-    """trace (N, C) on H_N -> (coeffs (N, C), evals (4N, C), MerkleTree)."""
+def _lde_commit(trace, commit_expand: int = INV_RATE):
+    """trace (N, C) on H_N -> (coeffs (N, C), eval4 (4N, C), commit tree).
+
+    eval4 lives on the 4N constraint-evaluation grid; the Merkle tree
+    commits the commit-domain subset (g*H_{cN} ⊂ g*H_{4N} at stride
+    4/c, identical points — so one size-4N NTT serves both).
+    """
     coeffs = NTT.interpolate(trace)
     evals = NTT.coset_evaluate(coeffs, expand=INV_RATE)
-    return coeffs, evals, merkle.commit(evals)
+    step = INV_RATE // commit_expand
+    cevals = evals if step == 1 else evals[::step]
+    return coeffs, evals, merkle.commit(cevals)
 
 
 # Constraint values: base arrays ((M,) pointwise / (4,)-ext at DEEP) or
@@ -152,6 +176,15 @@ def combine_constraints(cons, alpha, at_deep: bool):
         acc = term if acc is None else F.ext_add(acc, term)
         k += g
     return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_xs(n: int, expand: int) -> np.ndarray:
+    """Host table of commit-domain points g*H_{expand*N} (Montgomery)."""
+    m = expand * n
+    w = F.ROU_FWD[m.bit_length() - 1]
+    xs = _np_powers(w, m) * F.GENERATOR % F.P
+    return (xs * (1 << 32) % F.P).astype(np.uint32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -252,7 +285,6 @@ def prove(air: Air, data_trace, pub, po2: int,
     """
     n = 1 << po2
     assert data_trace.shape == (n, air.data_cols)
-    big = INV_RATE * n
 
     tr = Transcript()
     tr.mix_digest(pub_digest_of(pub))
@@ -265,9 +297,11 @@ def prove(air: Air, data_trace, pub, po2: int,
             "this AIR requires a ctrl_trace argument"
         ctrl_trace = air.ctrl_trace(n)
     if has_ctrl:
-        ctrl_coeffs, ctrl_evals, ctrl_tree = _lde_commit(ctrl_trace)
+        ctrl_coeffs, ctrl_evals, ctrl_tree = _lde_commit(
+            ctrl_trace, ps.commit_expand)
         tr.mix_digest(ctrl_tree.root)
-    data_coeffs, data_evals, data_tree = _lde_commit(data_trace)
+    data_coeffs, data_evals, data_tree = _lde_commit(
+        data_trace, ps.commit_expand)
     tr.mix_digest(data_tree.root)
 
     # --- phase 2: mix challenges + accumulators ---
@@ -275,7 +309,8 @@ def prove(air: Air, data_trace, pub, po2: int,
                 if air.globals_count else jnp.zeros((0, EXT), jnp.uint32))
     if has_accum:
         accum_trace = air.accum_trace(ctrl_trace, data_trace, globals_)
-        accum_coeffs, accum_evals, accum_tree = _lde_commit(accum_trace)
+        accum_coeffs, accum_evals, accum_tree = _lde_commit(
+            accum_trace, ps.commit_expand)
         tr.mix_digest(accum_tree.root)
 
     alpha = tr.sample_ext()
@@ -307,7 +342,7 @@ def prove(air: Air, data_trace, pub, po2: int,
     check_coeffs = jnp.concatenate(
         [q_coeffs[i::CHECK_SPLIT] for i in range(CHECK_SPLIT)], axis=1
     )  # (N, 16): col i*4+c = component c of Q_i
-    check_evals = NTT.coset_evaluate(check_coeffs, expand=INV_RATE)
+    check_evals = NTT.coset_evaluate(check_coeffs, expand=ps.commit_expand)
     check_tree = merkle.commit(check_evals)
     tr.mix_digest(check_tree.root)
 
@@ -329,19 +364,22 @@ def prove(air: Air, data_trace, pub, po2: int,
     tr.mix_elems(jnp.concatenate(
         [t.reshape(-1) for t in all_taps] + [taps_check.reshape(-1)]))
 
-    # --- DEEP combination ---
+    # --- DEEP combination (on the commit domain) ---
     beta = tr.sample_ext()
-    group_evals = [e for e in (
-        ctrl_evals if has_ctrl else None, data_evals,
-        accum_evals if has_accum else None) if e is not None]
-    trace_evals = jnp.concatenate(group_evals, axis=1)  # (4N, Ct)
+    group_cevals = [t.matrix for t, present in (
+        (ctrl_tree if has_ctrl else None, has_ctrl),
+        (data_tree, True),
+        (accum_tree if has_accum else None, has_accum)) if present]
+    trace_cevals = jnp.concatenate(group_cevals, axis=1)  # (cN, Ct)
     trace_taps = jnp.concatenate(all_taps, axis=0)  # (Ct, 2, 4)
-    combo = _deep_combo_evals(trace_evals, trace_taps, check_evals,
-                              taps_check, beta, z_, zg, z4, n)
+    combo = _deep_combo_evals(trace_cevals, trace_taps, check_evals,
+                              taps_check, beta, z_, zg, z4, n,
+                              ps.commit_expand)
 
     # --- FRI ---
     fri_proof, indices = fri.prove(tr, combo, queries=ps.queries,
-                                   min_degree=ps.fri_min_degree)
+                                   min_degree=ps.fri_min_degree,
+                                   inv_rate=ps.commit_expand)
 
     def open_group(tree):
         rows, paths = merkle.open_rows(tree, indices)
@@ -398,9 +436,12 @@ class _TapAccessor:
 
 
 def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
-                      beta, z, zg, z4, n: int):
-    """combo(x) = Σ_p (Σ_{j∈p} β^j P_j(x) - Σ_{j∈p} β^j v_j) / (x - p)."""
-    big = INV_RATE * n
+                      beta, z, zg, z4, n: int, commit_expand: int):
+    """combo(x) = Σ_p (Σ_{j∈p} β^j P_j(x) - Σ_{j∈p} β^j v_j) / (x - p).
+
+    All inputs live on the commit domain g*H_{commit_expand*N}.
+    """
+    big = commit_expand * n
     ct = trace_evals.shape[1]
     total = 2 * ct + CHECK_COLS
     betas = _beta_powers(beta, total)
@@ -408,8 +449,7 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
     w_zg = betas[ct : 2 * ct]
     w_check = betas[2 * ct :]
 
-    xs_np, _ = _domain_tables(n)
-    xs = jnp.asarray(xs_np)  # (4N,) base
+    xs = jnp.asarray(_commit_xs(n, commit_expand))  # (cN,) base
 
     # One batched inversion for all three DEEP denominators (the Fermat
     # ladder contributes O(1) graph ops this way).
@@ -444,7 +484,7 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     ID"); required iff the AIR has ctrl columns.
     """
     n = 1 << po2
-    big = INV_RATE * n
+    big = ps.commit_expand * n  # commit/FRI domain size
     has_ctrl = air.ctrl_cols > 0
     has_accum = air.accum_cols > 0
 
@@ -492,7 +532,8 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     # --- FRI + query checks ---
     fri_ok, indices, round0 = fri.verify(tr, proof.fri_proof, big,
                                          queries=ps.queries,
-                                         min_degree=ps.fri_min_degree)
+                                         min_degree=ps.fri_min_degree,
+                                         inv_rate=ps.commit_expand)
     ok = ok & fri_ok
 
     roots_openings = [(proof.check_root, proof.open_check)]
@@ -518,8 +559,7 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
 
     ct = trace_rows.shape[1]
     betas = _beta_powers(beta, 2 * ct + CHECK_COLS)
-    xs_np, _ = _domain_tables(n)
-    x_at = jnp.asarray(xs_np)[indices]  # (Q,) base
+    x_at = jnp.asarray(_commit_xs(n, ps.commit_expand))[indices]  # (Q,)
 
     points = jnp.stack([z_, zg, z4])
     dens = F.ext_sub(F.ext_from_base(x_at)[None, :, :],
@@ -586,17 +626,19 @@ def make_verifier(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
     return _verify_nc
 
 
-def control_root_of(air: Air, po2: int, ctrl_trace=None):
-    """The circuit's control ID: Merkle root of the ctrl group LDE.
+def control_root_of(air: Air, po2: int, ctrl_trace=None,
+                    ps: ProofSystem = ProofSystem()):
+    """The circuit's control ID: Merkle root of the ctrl group commitment.
 
-    For ctrl_dynamic AIRs (rv32im) this is the program's image_id.
+    For ctrl_dynamic AIRs (rv32im) this is the program's image_id. Depends
+    on ps.commit_expand (the commitment domain is part of the identity).
     """
     n = 1 << po2
 
-    @jax.jit
-    def _root(ct):
-        return _lde_commit(ct)[2].root
+    @functools.partial(jax.jit, static_argnums=1)
+    def _root(ct, expand):
+        return _lde_commit(ct, expand)[2].root
 
     if ctrl_trace is None:
         ctrl_trace = air.ctrl_trace(n)
-    return _root(ctrl_trace)
+    return _root(ctrl_trace, ps.commit_expand)

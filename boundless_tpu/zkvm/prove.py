@@ -22,8 +22,11 @@ from ..prover import stark
 from . import witness
 from .executor import Segment, MemoryImage
 
-# Default proof system: 50 queries at rate 1/4 (~100-bit), risc0-shaped.
-DEFAULT_PS = stark.ProofSystem(queries=50, fri_min_degree=256)
+# Default proof system: 100 queries at commit rate 1/2 — same ~100-bit
+# conjectured soundness as the reference's 50 queries at rate 1/4
+# (risc0-zkp defaults), but half the Merkle hashing (the TPU prover's
+# dominant cost; see stark.ProofSystem).
+DEFAULT_PS = stark.ProofSystem(queries=100, fri_min_degree=256)
 # Small system for CI (fast compile/runtime; NOT production soundness).
 TEST_PS = stark.ProofSystem(queries=8, fri_min_degree=16)
 
@@ -57,18 +60,20 @@ def _verifier(po2: int, ps: stark.ProofSystem):
 _IMAGE_CTRL_CACHE: dict = {}
 
 
-def _image_ctrl(image: MemoryImage, po2: int):
-    key = (image.image_id(), po2)
+def _image_ctrl(image: MemoryImage, po2: int,
+                ps: stark.ProofSystem = DEFAULT_PS):
+    key = (image.image_id(), po2, ps.commit_expand)
     if key not in _IMAGE_CTRL_CACHE:
         ctrl = F.fp(witness.build_ctrl_trace(image, po2))
-        root = stark.control_root_of(_AIR, po2, ctrl)
+        root = stark.control_root_of(_AIR, po2, ctrl, ps)
         _IMAGE_CTRL_CACHE[key] = (ctrl, np.asarray(F.from_mont(root)))
     return _IMAGE_CTRL_CACHE[key]
 
 
-def image_id_of(image: MemoryImage, po2: int) -> np.ndarray:
-    """Proof-level image id: Merkle root of the decoded image table LDE."""
-    return _image_ctrl(image, po2)[1]
+def image_id_of(image: MemoryImage, po2: int,
+                ps: stark.ProofSystem = DEFAULT_PS) -> np.ndarray:
+    """Proof-level image id: Merkle root of the image-table commitment."""
+    return _image_ctrl(image, po2, ps)[1]
 
 
 def _gen_witness(image, seg):
@@ -89,7 +94,7 @@ def prove_segment(image: MemoryImage, seg: Segment,
     """Generate the witness and prove one segment (jitted XLA program)."""
     w = _gen_witness(image, seg)
     data = F.fp(w.data)
-    ctrl, image_id = _image_ctrl(image, seg.po2)
+    ctrl, image_id = _image_ctrl(image, seg.po2, ps)
     pub = witness.to_public_values(w.pub)
     proof = _prover(seg.po2, ps)(data, pub, ctrl)
     return SegmentReceipt(proof=proof, pub=w.pub, image_id=image_id,
