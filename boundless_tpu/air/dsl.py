@@ -74,6 +74,30 @@ class BaseAlg:
         """Lift a public scalar (base u32) into this algebra's value type."""
         return x
 
+    # --- algebra-pure helpers (so constraints never call F/NTT/jnp
+    #     directly on algebra values; the recursion circuit's wire algebra
+    #     implements the same surface over Prog wires) ---
+
+    def ext_const(self, vec):
+        """Canonical 4-vector -> ext constant."""
+        import numpy as np
+
+        return F.ext(np.asarray(vec, dtype=np.int64))
+
+    def ext_powers(self, x, n: int):
+        """[x^0 .. x^{n-1}] for an ext value (indexable by [i])."""
+        from ..core import ntt as NTT
+
+        return NTT.ext_powers(x, n)
+
+    def einv(self, e):
+        """Extension-field inverse (einv(0) = 0 in array algebras)."""
+        return F.ext_inv(e)
+
+    def bc(self, e, like):
+        """Broadcast an ext value against another (no-op on wires)."""
+        return jnp.broadcast_to(e, jnp.shape(like))
+
     # --- grouped (stacked-column) operations: groups are (M, G) ---
     # Graph-size discipline: a group op contributes O(1) traced ops no
     # matter how many columns it covers (compile latency ∝ graph size).
@@ -180,6 +204,24 @@ class ExtAlg:
     def pubval(self, x):
         """Public scalars become ext constants at the DEEP point."""
         return F.ext_from_base(x)
+
+    # --- algebra-pure helpers (mirror BaseAlg) ---
+
+    def ext_const(self, vec):
+        import numpy as np
+
+        return F.ext(np.asarray(vec, dtype=np.int64))
+
+    def ext_powers(self, x, n: int):
+        from ..core import ntt as NTT
+
+        return NTT.ext_powers(x, n)
+
+    def einv(self, e):
+        return F.ext_inv(e)
+
+    def bc(self, e, like):
+        return jnp.broadcast_to(e, jnp.shape(like))
 
     # --- grouped operations: groups are (G, 4) ext stacks ---
 

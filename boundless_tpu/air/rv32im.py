@@ -219,10 +219,13 @@ jax.tree_util.register_dataclass(
 
 def _pack(alg, gamma, dpows, tag: int, comps_group):
     """gamma - (tag + Σ_j delta^{j+1} * x_j); comps_group is a group."""
-    g = comps_group.shape[-1] if not alg.is_ext else comps_group.shape[0]
-    base = F.ext_sub(gamma, F.ext(np.array([tag, 0, 0, 0], dtype=np.int64)))
+    if isinstance(comps_group, list):  # wire algebra (recursion circuit)
+        g = len(comps_group)
+    else:
+        g = comps_group.shape[-1] if not alg.is_ext else comps_group.shape[0]
+    base = alg.esub(gamma, alg.ext_const([tag, 0, 0, 0]))
     acc = alg.gweighted_ext(comps_group, dpows[1 : g + 1])
-    return F.ext_sub(jnp.broadcast_to(base, jnp.shape(acc)), acc)
+    return alg.esub(alg.bc(base, acc), acc)
 
 
 def _ports(alg, row, gamma, dpows):
@@ -348,6 +351,24 @@ def public_logup_sum(pub: PublicValues, gamma, delta):
     return F.sum_mod(terms, axis=0)
 
 
+def _public_logup_sum_prog(alg, pub, gamma, delta):
+    """Wire-algebra S_pub: pub.io is a list of 64 [tag,seq,lo,hi,mask]
+    wire rows (the recursion circuit evaluates the same formula with an
+    INV op per row; pad rows have den = gamma != 0, so inv is safe)."""
+    p = alg.p
+    dpows = alg.ext_powers(delta, 4)
+    total = None
+    for row in pub.io:
+        tag, seq, lo, hi, mask = row
+        acc = tag
+        for j, x in enumerate((seq, lo, hi)):
+            acc = p.add(acc, p.mul(dpows[j + 1], x))
+        inv_w = p.inv(p.sub(gamma, acc))
+        term = p.mul(mask, inv_w)
+        total = term if total is None else p.add(total, term)
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Row accessors
 # ---------------------------------------------------------------------------
@@ -435,7 +456,7 @@ class Rv32imAir(dsl.Air):
     # family, however many columns it spans (compile latency ∝ graph size).
     def constraints(self, alg, now, nxt, globals_, pub: PublicValues):
         gamma, delta = globals_[0], globals_[1]
-        dpows = NTT.ext_powers(delta, NUM_DPOWS)
+        dpows = alg.ext_powers(delta, NUM_DPOWS)
         d = _Rows(now)
         nx = _Rows(nxt)
         c = []
@@ -1063,10 +1084,12 @@ class Rv32imAir(dsl.Air):
         c.append(ExtVal(alg.escale(alg.esub(alg.esub(R_nxt, R_now), t_next),
                                    not_last)))
         c.append(ExtVal(alg.escale(alg.esub(R_now, t_now), is_first)))
-        s_pub = public_logup_sum(pub, gamma, delta)
+        if getattr(alg, "is_prog", False):
+            s_pub = _public_logup_sum_prog(alg, pub, gamma, delta)
+        else:
+            s_pub = public_logup_sum(pub, gamma, delta)
         c.append(ExtVal(alg.escale(
-            alg.esub(R_now, jnp.broadcast_to(s_pub, jnp.shape(R_now))),
-            is_last)))
+            alg.esub(R_now, alg.bc(s_pub, R_now)), is_last)))
 
         # ---- multiplicities only on active table rows ----
         t_act = d.ctrl(CC.t_active)
