@@ -123,13 +123,17 @@ class Segment:
     po2: int
     pre_pc: int
     pre_regs: np.ndarray  # (32,) u32
-    pre_mem: dict  # addr -> u32 snapshot at segment start (touched pages only)
+    pre_mem: dict  # full word store (addr&~3 -> u32) at segment start
     cycles: int  # actual user cycles executed in this segment
     # I/O interactions consumed during this segment (for witness re-run):
     reads: list  # input words returned by READ during the segment
     pre_seqs: dict  # session commit/read/verify counters at segment start
     is_final: bool
     image_id: bytes
+    # cross-segment RAM continuity (paging.py): 64-word pages touched by
+    # load/store in this segment, and the full word store at segment end
+    touched_pages: list = None
+    post_mem: dict = None
 
 
 @dataclasses.dataclass
@@ -210,6 +214,7 @@ class Executor:
         self.segment_limit = (1 << segment_po2) - 4
         self.max_cycles = max_cycles
         self.exit_code = None
+        self.touched_words = set()  # byte-aligned word addrs, per segment
 
     # --- memory helpers (byte-addressed API over word store) ---
     def _load_word(self, addr):
@@ -219,6 +224,7 @@ class Executor:
         self.mem[addr & ~3] = value & M32
 
     def load(self, addr, size, signed):
+        self.touched_words.add(addr & ~3)
         w = self._load_word(addr)
         sh = (addr & 3) * 8
         if size == 1:
@@ -234,6 +240,7 @@ class Executor:
         return w
 
     def store(self, addr, size, value):
+        self.touched_words.add(addr & ~3)
         if size == 4:
             if addr & 3:
                 raise GuestFault(f"misaligned word store at {addr:#x}")
@@ -274,14 +281,18 @@ class Executor:
                         verify=len(self.verify_words))
         reads = []
         cycles = 0
+        self.touched_words = set()
         while cycles < self.segment_limit and self.exit_code is None:
             self.step(reads)
             cycles += 1
+        touched_pages = sorted({(a >> 2) // 64 for a in self.touched_words})
         return Segment(index=index, po2=self.segment_po2, pre_pc=pre_pc,
                        pre_regs=pre_regs, pre_mem=pre_mem, cycles=cycles,
                        reads=reads, pre_seqs=pre_seqs,
                        is_final=self.exit_code is not None,
-                       image_id=self.image.image_id())
+                       image_id=self.image.image_id(),
+                       touched_pages=touched_pages,
+                       post_mem=dict(self.mem))
 
     def step(self, reads_log=None):
         """Execute one instruction."""
