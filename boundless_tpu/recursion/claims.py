@@ -1,32 +1,48 @@
-"""Span claims for succinct recursion: layout, io chaining, digests.
+"""Span claims for succinct recursion: layout, chain folding, digests.
 
 The recursion layer's claims mirror the reference's `ReceiptClaim`
 (risc0-zkvm; joined at `prover/crates/workflow/src/tasks/join.rs:53`)
 reshaped for this zkVM's public-value design: instead of a memory-image
-SystemState, a claim pins the register file, pc, per-tag io sequence
-counters, and a running **io chain digest** (journal/input/assumption
-words are folded into a Poseidon2 hash chain so claims stay fixed-size
-and joins stay O(1) — the reference reaches the same end with journal
-digests in the claim).
+SystemState digest pair, a claim pins the register file, pc, per-tag io
+sequence counters, three **per-tag io hash chains** (journal / input /
+assumptions), and pre/post **memory roots** (the paging.py page tree; the
+chains keep claims fixed-size so joins stay O(1) — the reference reaches
+the same end with journal digests + SystemState digests in the claim).
 
-Claim element vector (canonical Baby Bear scalars, order is normative —
-the lift/join programs hash exactly this):
+Claim v2 element vector (canonical Baby Bear scalars packed 4 per wire;
+order is normative — the lift/join programs hash exactly this; see
+docs/PROTOCOL.md "Recursion layer"):
 
-  wire  0- 1  image_id (8 words = rv32im control root)
-  wire  2     [pre_pc, post_pc, halted, 0]
-  wires 3-18  pre_regs (64 limbs)
-  wires 19-34 post_regs (64 limbs)
-  wire  35    [pre_seqs(3), 0]
-  wire  36    [post_seqs(3), 0]
-  wires 37-38 pre_io_chain (8)
-  wires 39-40 post_io_chain (8)
+  wires  0- 1  image_id (8 words = rv32im control root)
+  wire   2     [pre_pc, post_pc, halted, 0]
+  wires  3-18  pre_regs (64 limbs)
+  wires 19-34  post_regs (64 limbs)
+  wire  35     [pre_seqs(3), 0]   (commit, read, verify)
+  wire  36     [post_seqs(3), 0]
+  wires 37-38  pre_journal_chain (8)
+  wires 39-40  post_journal_chain (8)
+  wires 41-42  pre_input_chain (8)
+  wires 43-44  post_input_chain (8)
+  wires 45-46  pre_assumptions_chain (8)
+  wires 47-48  post_assumptions_chain (8)
+  wires 49-50  pre_mem_root (8)
+  wires 51-52  post_mem_root (8)
 
-(41 packed wires = 164 slots; 161 live elements; digest =
-P2.hash_elems over the 164-slot padded vector == hash of the 161
-elements, since hash_elems zero-pads to the same block boundary.)
+(53 packed wires = 212 slots; digest = P2.hash_elems over the 212-slot
+vector.)
 
-io chain: h' = H(h(8) || tag, seq, lo, hi) per *masked* io row, in the
-segment's public io order; pre-chain of a session is all-zeros.
+Chain folding: h' = H(h(8) || lo, hi) per masked io word of the tag, in
+per-tag seq order (the lift program enforces seq-contiguity of the public
+io table, so table order == seq order per tag). Genesis chains are
+all-zeros. The assumptions chain doubles as a cons list: resolve pops the
+top 8 folds (one claim digest = 8 words) by re-deriving them from a
+witnessed 8-back chain value.
+
+Memory roots: chained across joins. v2 gap (docs/PROTOCOL.md): the lift
+program currently pins both roots to zero — segment publics do not yet
+expose touched-page words, so per-segment root derivation is not
+in-circuit. RAM continuity *within* a claim chain is therefore not yet
+bound; everything else in the claim is.
 """
 
 from __future__ import annotations
@@ -37,33 +53,51 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..core import field as F
-from ..core import poseidon2 as P2
+from ..core import poseidon2_np as P2NP
 
-CLAIM_WIRES = 41
-CLAIM_ELEMS = 4 * CLAIM_WIRES  # padded slot count
+CLAIM_WIRES = 53
+CLAIM_ELEMS = 4 * CLAIM_WIRES  # padded slot count (212)
 
 ZERO_CHAIN = (0,) * 8
 
+# io tags with chains (air/rv32im.py TAG values)
+CHAIN_TAGS = (4, 5, 6)  # commit -> journal, read -> input, verify -> assum.
+
 
 def _hash_elems_canonical(elems: Sequence[int]) -> Tuple[int, ...]:
-    mont = F.fp(np.asarray(list(elems), dtype=np.int64))
-    return tuple(int(x) for x in F.from_mont(P2.hash_elems(mont)))
+    """Canonical-int host hash (pure numpy; bit-identical to the jitted
+    core.poseidon2.hash_elems, parity-tested in tests/test_poseidon2_np)."""
+    return P2NP.hash_elems_np([int(x) % F.P for x in elems])
 
 
-def io_chain_step(h: Sequence[int], tag: int, seq: int, lo: int, hi: int
-                  ) -> Tuple[int, ...]:
-    """h' = H(h || tag, seq, lo, hi)  (12 elements)."""
-    return _hash_elems_canonical(list(h) + [tag, seq, lo, hi])
+def chain_step(h: Sequence[int], lo: int, hi: int) -> Tuple[int, ...]:
+    """h' = H(h || lo, hi)  (10 elements, one sponge block)."""
+    return _hash_elems_canonical(list(h) + [lo, hi])
 
 
-def io_chain(pre: Sequence[int], io_rows) -> Tuple[int, ...]:
-    """Fold masked io rows (tag, seq, lo, hi, mask) into the chain."""
+def fold_words(pre: Sequence[int], words32) -> Tuple[int, ...]:
+    """Fold 32-bit words (as ints) into a chain."""
     h = tuple(int(x) for x in pre)
+    for w in words32:
+        w = int(w)
+        h = chain_step(h, w & 0xFFFF, w >> 16)
+    return h
+
+
+def fold_io(pre_chains, io_rows):
+    """Fold masked io rows (tag, seq, lo, hi, mask) into per-tag chains.
+
+    pre_chains: {tag: 8-tuple}. Rows must be in per-tag seq order (the
+    segment's public io table order). Returns the post {tag: 8-tuple}.
+    """
+    chains = {t: tuple(int(x) for x in pre_chains[t]) for t in CHAIN_TAGS}
     for row in io_rows:
         tag, seq, lo, hi, mask = (int(x) for x in row)
         if mask:
-            h = io_chain_step(h, tag, seq, lo, hi)
-    return h
+            if tag not in chains:
+                raise ValueError(f"io row with unknown tag {tag}")
+            chains[tag] = chain_step(chains[tag], lo, hi)
+    return chains
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,34 +112,53 @@ class Claim:
     post_regs: tuple
     pre_seqs: tuple      # (commit, read, verify)
     post_seqs: tuple
-    pre_io_chain: tuple  # 8
-    post_io_chain: tuple
+    pre_journal: tuple   # 8
+    post_journal: tuple
+    pre_input: tuple
+    post_input: tuple
+    pre_assumptions: tuple
+    post_assumptions: tuple
+    pre_mem_root: tuple = ZERO_CHAIN
+    post_mem_root: tuple = ZERO_CHAIN
 
     def to_elems(self) -> List[int]:
-        """The normative padded 164-slot vector (see module docstring)."""
+        """The normative padded 212-slot vector (see module docstring)."""
         out = list(self.image_id)
         out += [self.pre_pc, self.post_pc, self.halted, 0]
         out += list(self.pre_regs)
         out += list(self.post_regs)
         out += list(self.pre_seqs) + [0]
         out += list(self.post_seqs) + [0]
-        out += list(self.pre_io_chain)
-        out += list(self.post_io_chain)
+        for pair in ((self.pre_journal, self.post_journal),
+                     (self.pre_input, self.post_input),
+                     (self.pre_assumptions, self.post_assumptions),
+                     (self.pre_mem_root, self.post_mem_root)):
+            out += list(pair[0]) + list(pair[1])
         assert len(out) == CLAIM_ELEMS
         return out
 
     def digest(self) -> Tuple[int, ...]:
         return _hash_elems_canonical(self.to_elems())
 
+    def digest_words(self) -> List[int]:
+        """Digest as 8 32-bit io words (lo | hi<<16 limbs) — the form a
+        guest VERIFY-ecalls an assumption digest in."""
+        return [int(x) for x in self.digest()]
+
     @staticmethod
-    def of_segment(image_id, pub, pre_io_chain=ZERO_CHAIN) -> "Claim":
+    def of_segment(image_id, pub, pre_chains=None,
+                   pre_mem_root=ZERO_CHAIN, post_mem_root=ZERO_CHAIN
+                   ) -> "Claim":
         """Claim of one segment from its (canonical) public values.
 
         pub: dict-like with pre_pc/post_pc/halted/pre_regs/post_regs/
         pre_seqs/post_seqs/io (the SegmentReceipt.pub layout,
-        boundless_tpu/zkvm/witness.py).
+        boundless_tpu/zkvm/witness.py). `pre_chains`: {tag: 8-tuple}
+        (genesis = all-zero).
         """
-        post = io_chain(pre_io_chain, pub["io"])
+        if pre_chains is None:
+            pre_chains = {t: ZERO_CHAIN for t in CHAIN_TAGS}
+        post = fold_io(pre_chains, pub["io"])
         return Claim(
             image_id=tuple(int(x) for x in image_id),
             pre_pc=int(pub["pre_pc"]), post_pc=int(pub["post_pc"]),
@@ -114,8 +167,11 @@ class Claim:
             post_regs=tuple(int(x) for x in pub["post_regs"]),
             pre_seqs=tuple(int(x) for x in pub["pre_seqs"]),
             post_seqs=tuple(int(x) for x in pub["post_seqs"]),
-            pre_io_chain=tuple(int(x) for x in pre_io_chain),
-            post_io_chain=post)
+            pre_journal=tuple(pre_chains[4]), post_journal=post[4],
+            pre_input=tuple(pre_chains[5]), post_input=post[5],
+            pre_assumptions=tuple(pre_chains[6]), post_assumptions=post[6],
+            pre_mem_root=tuple(int(x) for x in pre_mem_root),
+            post_mem_root=tuple(int(x) for x in post_mem_root))
 
     def join(self, right: "Claim") -> "Claim":
         """The joined claim (must satisfy the chaining equalities the
@@ -125,14 +181,62 @@ class Claim:
         assert self.post_pc == right.pre_pc
         assert self.post_regs == right.pre_regs
         assert self.post_seqs == right.pre_seqs
-        assert self.post_io_chain == right.pre_io_chain
+        assert self.post_journal == right.pre_journal
+        assert self.post_input == right.pre_input
+        assert self.post_assumptions == right.pre_assumptions
+        assert self.post_mem_root == right.pre_mem_root
         return Claim(
             image_id=self.image_id, pre_pc=self.pre_pc,
             post_pc=right.post_pc, halted=right.halted,
             pre_regs=self.pre_regs, post_regs=right.post_regs,
             pre_seqs=self.pre_seqs, post_seqs=right.post_seqs,
-            pre_io_chain=self.pre_io_chain,
-            post_io_chain=right.post_io_chain)
+            pre_journal=self.pre_journal, post_journal=right.post_journal,
+            pre_input=self.pre_input, post_input=right.post_input,
+            pre_assumptions=self.pre_assumptions,
+            post_assumptions=right.post_assumptions,
+            pre_mem_root=self.pre_mem_root,
+            post_mem_root=right.post_mem_root)
+
+    def resolve(self, assumption_digest: Sequence[int],
+                prev_chain: Sequence[int]) -> "Claim":
+        """Pop the top assumption (cons-list semantics): re-derives the
+        last 8 folds from `prev_chain` and checks they land on
+        post_assumptions; the resolved claim's post chain is prev_chain.
+        Mirrors what the resolve program enforces in-circuit."""
+        h = fold_words(prev_chain, [int(x) for x in assumption_digest])
+        assert h == self.post_assumptions, "assumption digest mismatch"
+        return dataclasses.replace(
+            self, post_assumptions=tuple(int(x) for x in prev_chain))
+
+    def is_genesis(self, entry_pc: int) -> bool:
+        return (self.pre_pc == int(entry_pc) and not any(self.pre_regs)
+                and not any(self.pre_seqs) and not any(self.pre_journal)
+                and not any(self.pre_input) and not any(self.pre_assumptions))
+
+
+def digest_bytes(digest8: Sequence[int]) -> bytes:
+    """Canonical 32-byte encoding of an 8-word claim digest (LE u32 per
+    word — the form a guest VERIFY-ecalls and hot-store receipt keys use)."""
+    return b"".join(int(w).to_bytes(4, "little") for w in digest8)
+
+
+def digest_from_bytes(blob: bytes) -> Tuple[int, ...]:
+    assert len(blob) == 32
+    return tuple(int.from_bytes(blob[i : i + 4], "little")
+                 for i in range(0, 32, 4))
+
+
+def assumption_chain_prefixes(pre: Sequence[int], digests) -> List[tuple]:
+    """Chain value before each digest fold (resolve pops in reverse order).
+
+    digests: list of 8-word claim digests in VERIFY order. Returns
+    [chain before digest 0, chain before digest 1, ...]."""
+    out = []
+    h = tuple(int(x) for x in pre)
+    for d in digests:
+        out.append(h)
+        h = fold_words(h, [int(x) for x in d])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +244,10 @@ class Claim:
 # ---------------------------------------------------------------------------
 
 
-def allowed_set_root(ids: Sequence[Sequence[int]], depth: int = 2
+ALLOWED_DEPTH = 2  # lift, join, resolve, union
+
+
+def allowed_set_root(ids: Sequence[Sequence[int]], depth: int = ALLOWED_DEPTH
                      ) -> Tuple[int, ...]:
     """Merkle root over program control IDs (8-word digests).
 
@@ -154,18 +261,13 @@ def allowed_set_root(ids: Sequence[Sequence[int]], depth: int = 2
     leaves = leaves + [(0,) * 8] * (slots - len(leaves))
     level = leaves
     while len(level) > 1:
-        nxt = []
-        for i in range(0, len(level), 2):
-            mont_l = F.fp(np.asarray(level[i], dtype=np.int64))
-            mont_r = F.fp(np.asarray(level[i + 1], dtype=np.int64))
-            h = P2.hash_pair(mont_l, mont_r)
-            nxt.append(tuple(int(x) for x in F.from_mont(h)))
-        level = nxt
+        level = [P2NP.hash_pair_np(level[i], level[i + 1])
+                 for i in range(0, len(level), 2)]
     return level[0]
 
 
 def allowed_set_path(ids: Sequence[Sequence[int]], index: int,
-                     depth: int = 2) -> List[Tuple[int, ...]]:
+                     depth: int = ALLOWED_DEPTH) -> List[Tuple[int, ...]]:
     """Sibling path for leaf `index` (leaf level first)."""
     leaves = [tuple(int(x) for x in d) for d in ids]
     slots = 1 << depth
@@ -175,12 +277,7 @@ def allowed_set_path(ids: Sequence[Sequence[int]], index: int,
     idx = index
     while len(level) > 1:
         path.append(level[idx ^ 1])
-        nxt = []
-        for i in range(0, len(level), 2):
-            mont_l = F.fp(np.asarray(level[i], dtype=np.int64))
-            mont_r = F.fp(np.asarray(level[i + 1], dtype=np.int64))
-            h = P2.hash_pair(mont_l, mont_r)
-            nxt.append(tuple(int(x) for x in F.from_mont(h)))
-        level = nxt
+        level = [P2NP.hash_pair_np(level[i], level[i + 1])
+                 for i in range(0, len(level), 2)]
         idx >>= 1
     return path

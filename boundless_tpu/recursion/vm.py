@@ -249,6 +249,7 @@ class Prog:
         self.rows: List[Row] = []
         self.n_inputs = 0
         self._one: Optional[int] = None
+        self._basis_cache: dict = {}
         # shadow transcript pool for duplex squeeze scheduling
         self._pool = P2.RATE
 
@@ -297,6 +298,21 @@ class Prog:
         recomposition asserts, not the hint)."""
         return self._emit("bit", (src, 0, 0), hint=("bit", src, comp, idx))
 
+    def flag_eqz(self, src: int, comp: int = 0) -> int:
+        """Boolean witness wire hinted as (wire[src][comp] == 0).
+
+        Only the booleanness is constrained by the BIT row; callers must
+        add the semantic asserts (e.g. b * x == 0 plus a covering-sum
+        constraint for the b == 0 direction)."""
+        return self._emit("bit", (src, 0, 0), hint=("eqz", src, comp))
+
+    def input_bit(self) -> int:
+        """Witness input constrained to {0, 1} (x*x == x; the quartic
+        extension is a field, so 0/1 are its only idempotents)."""
+        w = self.input()
+        self.assert_zero(self.sub(self.mul(w, w), w))
+        return w
+
     def pub(self, group: int) -> int:
         assert 0 <= group < NPUB_GROUPS
         K = np.zeros(KW, dtype=np.int64)
@@ -331,8 +347,12 @@ class Prog:
 
     def _mul_basis(self, x: int, c: int, kc: int) -> int:
         """x * (kc * X^c) for the extension basis X^c (emitted as a GEN
-        with a constant multiplicand wire)."""
-        w = self.const(tuple(kc % P if i == c else 0 for i in range(4)))
+        with a constant multiplicand wire; the constant wire is cached)."""
+        key = (c, kc % P)
+        w = self._basis_cache.get(key)
+        if w is None:
+            w = self.const(tuple(kc % P if i == c else 0 for i in range(4)))
+            self._basis_cache[key] = w
         return self.mul(x, w)
 
     def addc(self, x: int, imm) -> int:
@@ -577,6 +597,78 @@ class EvalError(Exception):
     pass
 
 
+def _native_pack(prog: Prog):
+    """Row arrays for the C++ evaluator (cached on the Prog per length,
+    so the post-finalize pack is rebuilt once)."""
+    cached = getattr(prog, "_npack", None)
+    if cached is not None and cached[0] == len(prog.rows):
+        return cached[1]
+    n = len(prog.rows)
+    ops = np.zeros(n, dtype=np.int32)
+    addr = np.zeros((n, 3), dtype=np.int32)
+    en = np.zeros((n, 3), dtype=np.int32)
+    K = np.zeros((n, KW), dtype=np.int64)
+    hkind = np.zeros(n, dtype=np.int32)
+    harg = np.zeros((n, 3), dtype=np.int32)
+    HK = {"in": 1, "pad": 2, "bit": 3, "eqz": 4}
+    for r, row in enumerate(prog.rows):
+        ops[r] = row.op
+        addr[r] = row.a
+        en[r] = row.en
+        if row.K is not None:
+            K[r] = row.K
+        if row.hint:
+            hkind[r] = HK.get(row.hint[0], 0)
+            args = row.hint[1:4]
+            harg[r, : len(args)] = [int(x) for x in args]
+    pack = tuple(np.ascontiguousarray(a)
+                 for a in (ops, addr, en, K, hkind, harg))
+    prog._npack = (n, pack)
+    return pack
+
+
+def evaluate_native(prog: Prog, inputs, pub_vals) -> np.ndarray:
+    """C++ evaluator (native/rec_eval.cpp): bit-identical to `evaluate`
+    (parity-tested in tests/test_recursion_native.py)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.load("bt_rec_eval", ["rec_eval.cpp"])
+    ops, addr, en, K, hkind, harg = _native_pack(prog)
+    n = len(prog.rows)
+    ins = np.ascontiguousarray(
+        np.asarray([list(t) for t in inputs], dtype=np.int64).reshape(-1, 4)
+        % P)
+    pub = np.ascontiguousarray(
+        (np.asarray(list(pub_vals) + [0] * (PUB_VALS - len(pub_vals)),
+                    dtype=np.int64)) % P)
+    m_ext = np.ascontiguousarray(M_EXT.astype(np.int64))
+    mu = np.ascontiguousarray(_MU.astype(np.int64))
+    data = np.zeros((n, DC.total), dtype=np.int64)
+    err = ctypes.create_string_buffer(256)
+    cp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    rc = lib.bt_rec_eval(cp(ops), cp(addr), cp(en), cp(K), cp(hkind),
+                         cp(harg), ctypes.c_int64(n), cp(ins),
+                         ctypes.c_int64(ins.shape[0]), cp(pub), cp(m_ext),
+                         cp(mu), cp(data), err, ctypes.c_int(256))
+    if rc != 0:
+        raise EvalError(err.value.decode() or "native evaluation failed")
+    return data
+
+
+def evaluate_auto(prog: Prog, inputs, pub_vals) -> np.ndarray:
+    """Prefer the C++ evaluator; fall back to the Python replay only on
+    toolchain/load problems (EvalErrors propagate — same witness
+    semantics either way)."""
+    try:
+        return evaluate_native(prog, inputs, pub_vals)
+    except EvalError:
+        raise
+    except Exception:  # noqa: BLE001 — g++/ctypes issues only
+        return evaluate(prog, inputs, pub_vals)
+
+
 def evaluate(prog: Prog, inputs: Sequence[Tuple[int, int, int, int]],
              pub_vals: Sequence[int]) -> np.ndarray:
     """Execute the program; returns the canonical data trace (N, DC.total).
@@ -626,8 +718,12 @@ def evaluate(prog: Prog, inputs: Sequence[Tuple[int, int, int, int]],
                 out = tuple(int(x) % P for x in inputs[in_i])
                 in_i += 1
         elif op == "bit":
-            _, src, comp, idx = row.hint
-            out = ((wires[src][comp] >> idx) & 1, 0, 0, 0)
+            if row.hint[0] == "eqz":
+                _, src, comp = row.hint
+                out = (1 if wires[src][comp] == 0 else 0, 0, 0, 0)
+            else:
+                _, src, comp, idx = row.hint
+                out = ((wires[src][comp] >> idx) & 1, 0, 0, 0)
         elif op == "pub":
             g = int(np.argmax(row.K[:NPUB_GROUPS]))
             out = tuple(pub_vals[4 * g + c] for c in range(4))
