@@ -319,7 +319,7 @@ def rom_trace(prog: vm.Prog, n: int) -> jnp.ndarray:
 
 def data_trace(prog: vm.Prog, inputs, pub_vals) -> jnp.ndarray:
     """Execute the program -> Montgomery data trace."""
-    return F.fp(vm.evaluate(prog, inputs, pub_vals))
+    return F.fp(vm.evaluate_auto(prog, inputs, pub_vals))
 
 
 def pub_array(pub_vals) -> jnp.ndarray:
