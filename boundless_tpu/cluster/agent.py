@@ -33,6 +33,7 @@ from .planner import Planner, Kind
 from .storage import SharedFs
 from .taskdb import MemoryBackend, Priority
 from ..prover import stark
+from ..recursion import claims, succinct
 from ..recursion import receipt as rec
 from ..zkvm import prove as zprove
 from ..zkvm.executor import Executor, MemoryImage
@@ -42,7 +43,14 @@ STREAMS = ("exec", "prove", "join", "coproc", "snark", "aux")
 
 @dataclasses.dataclass
 class ClusterContext:
-    """Shared fabric handles (taskdb + hot store + object store)."""
+    """Shared fabric handles (taskdb + hot store + object store).
+
+    `succinct`: optional recursion system (succinct.SuccinctSystem or
+    succinct.DevModeSystem). When set, the recursion tasks produce
+    constant-size RecReceipts (claim v2 chains) instead of the v1
+    aggregation receipts. `dev_mode` (reference `RISC0_DEV_MODE=true`)
+    skips segment STARKs — valid only with a DevModeSystem.
+    """
 
     db: MemoryBackend
     hot: hs.HotStore
@@ -50,6 +58,12 @@ class ClusterContext:
     ps: stark.ProofSystem = zprove.DEFAULT_PS
     segment_po2: int = 14
     exec_cycle_limit: int = 100_000 * (1 << 20)  # reference default
+    succinct: Optional[object] = None
+    dev_mode: bool = False
+
+    def __post_init__(self):
+        if self.dev_mode and not hasattr(self.succinct, "DEV_ROOT"):
+            raise ValueError("dev_mode requires succinct=DevModeSystem")
 
 
 class Agent:
@@ -146,27 +160,34 @@ class Agent:
         # (reference executor.rs:571-711).
         planner = Planner()
         tid_of = {}
+        chain_meta = None
+        if self.ctx.succinct is not None:
+            # Per-segment pre-chains: prefix folds of the session word
+            # streams at each segment's pre_seqs (recursion/claims.py).
+            chain_meta = _segment_pre_chains(ex, result)
+            d = dict(d, assumptions=[a.hex() for a in result.assumptions])
         for seg in result.segments:
             self.ctx.hot.set(hs.segment_key(job, seg.index), seg)
             planner.enqueue_segment(seg.index)
-            self._emit_ready(job, planner, tid_of, d)
+            self._emit_ready(job, planner, tid_of, d, chain_meta)
         fin = planner.finish()
-        self._emit_ready(job, planner, tid_of, d)
+        self._emit_ready(job, planner, tid_of, d, chain_meta)
         return dict(total_cycles=result.total_cycles,
                     segments=len(result.segments),
                     root_task=f"t{planner.root}"), []
 
-    def _emit_ready(self, job, planner: Planner, tid_of, d):
+    def _emit_ready(self, job, planner: Planner, tid_of, d,
+                    chain_meta=None):
         while (cmd := planner.next_task()) is not None:
             name = f"t{cmd.task_id}"
             tid_of[cmd.task_id] = name
             deps = [tid_of[x] for x in cmd.deps]
             if cmd.kind == Kind.SEGMENT:
-                self.ctx.db.create_task(job, name, "prove",
-                                        dict(kind="prove",
-                                             segment=cmd.payload,
-                                             out=name, **_fwd(d)),
-                                        deps)
+                pdef = dict(kind="prove", segment=cmd.payload,
+                            out=name, **_fwd(d))
+                if chain_meta is not None:
+                    pdef["pre_chains"] = chain_meta[cmd.payload]
+                self.ctx.db.create_task(job, name, "prove", pdef, deps)
             elif cmd.kind == Kind.JOIN:
                 self.ctx.db.create_task(job, name, "join",
                                         dict(kind="join", deps=deps,
@@ -185,6 +206,8 @@ class Agent:
                 self.ctx.db.create_task(job, "resolve", "join",
                                         dict(kind="resolve",
                                              root=tid_of[cmd.deps[0]],
+                                             assumptions=d.get(
+                                                 "assumptions", []),
                                              **_fwd(d)),
                                         deps)
                 self.ctx.db.create_task(job, "finalize", "aux",
@@ -199,11 +222,19 @@ class Agent:
         if seg is None:
             raise RuntimeError(f"segment {d['segment']} missing from hot store")
         image = self.ctx.store.get("elfs", d["image_id"])
-        sr = zprove.prove_segment(image, seg, ps=self.ctx.ps)
-        lifted = rec.lift(sr, ps=self.ctx.ps)
+        if self.ctx.dev_mode:
+            sr = zprove.dev_receipt(image, seg, ps=self.ctx.ps)
+        else:
+            sr = zprove.prove_segment(image, seg, ps=self.ctx.ps)
+        if self.ctx.succinct is not None:
+            pre_chains = _decode_chains(d["pre_chains"])
+            lifted = self.ctx.succinct.lift(sr, pre_chains)
+            claim_hex = claims.digest_bytes(lifted.claim.digest()).hex()
+        else:
+            lifted = rec.lift(sr, ps=self.ctx.ps)
+            claim_hex = lifted.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, d["out"]), lifted)
-        return dict(claim=lifted.claim_digest().hex()), \
-            [hs.segment_key(job, d["segment"])]
+        return dict(claim=claim_hex), [hs.segment_key(job, d["segment"])]
 
     # --- join / union / resolve ---------------------------------------
     def _task_join(self, task):
@@ -213,10 +244,18 @@ class Agent:
         right = self.ctx.hot.get(hs.recursion_receipt_key(job, d["deps"][1]))
         if left is None or right is None:
             raise RuntimeError("join inputs missing from hot store")
-        joined = rec.join(left, right) if d["kind"] == "join" else \
-            rec.union(left, right)
+        if self.ctx.succinct is not None:
+            if d["kind"] != "join":
+                raise RuntimeError(
+                    "succinct union: keccak circuit staged for a later round")
+            joined = self.ctx.succinct.join(left, right)
+            claim_hex = claims.digest_bytes(joined.claim.digest()).hex()
+        else:
+            joined = rec.join(left, right) if d["kind"] == "join" else \
+                rec.union(left, right)
+            claim_hex = joined.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, d["out"]), joined)
-        return dict(claim=joined.claim_digest().hex()), [
+        return dict(claim=claim_hex), [
             hs.recursion_receipt_key(job, d["deps"][0]),
             hs.recursion_receipt_key(job, d["deps"][1])]
 
@@ -229,17 +268,44 @@ class Agent:
         root = self.ctx.hot.get(hs.recursion_receipt_key(job, d["root"]))
         if root is None:
             raise RuntimeError("resolve: root receipt missing")
-        assumptions = []
-        for digest in root.claim.assumption_digests():
-            r = self.ctx.hot.get(hs.receipt_key(digest.hex()))
-            if r is None:
-                raise RuntimeError(
-                    f"resolve: no receipt for assumption {digest.hex()[:16]}")
-            assumptions.append(r)
-        resolved = rec.resolve(root, assumptions) if assumptions else root
+        if self.ctx.succinct is not None:
+            resolved = self._succinct_resolve(root, d)
+            claim_hex = claims.digest_bytes(resolved.claim.digest()).hex()
+        else:
+            assumptions = []
+            for digest in root.claim.assumption_digests():
+                r = self.ctx.hot.get(hs.receipt_key(digest.hex()))
+                if r is None:
+                    raise RuntimeError(
+                        "resolve: no receipt for assumption "
+                        f"{digest.hex()[:16]}")
+                assumptions.append(r)
+            resolved = rec.resolve(root, assumptions) if assumptions else root
+            claim_hex = resolved.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, "resolved"), resolved)
-        return dict(claim=resolved.claim_digest().hex()), \
+        return dict(claim=claim_hex), \
             [hs.recursion_receipt_key(job, d["root"])]
+
+    def _succinct_resolve(self, root, d):
+        """Pop every assumption in reverse VERIFY order (each pop is one
+        resolve program run; reference resolve.rs:85 iterates the same
+        way over the union + assumption receipts)."""
+        digests = [claims.digest_from_bytes(bytes.fromhex(h))
+                   for h in d.get("assumptions", [])]
+        if not digests:
+            return root
+        prefixes = claims.assumption_chain_prefixes(
+            root.claim.pre_assumptions, digests)
+        cur = root
+        for dt, prev in reversed(list(zip(digests, prefixes))):
+            key = hs.receipt_key(claims.digest_bytes(dt).hex())
+            a = self.ctx.hot.get(key)
+            if a is None:
+                raise RuntimeError(
+                    "resolve: no receipt for assumption "
+                    f"{claims.digest_bytes(dt).hex()[:16]}")
+            cur = self.ctx.succinct.resolve(cur, a, prev)
+        return cur
 
     # --- finalize ------------------------------------------------------
     def _task_finalize(self, task):
@@ -249,12 +315,26 @@ class Agent:
         if root is None:
             raise RuntimeError("finalize: resolved receipt missing")
         image = self.ctx.store.get("elfs", d["image_id"])
-        session = rec.SessionReceipt.finalize(root, entry_pc=image.entry)
-        if not session.verify(ps=self.ctx.ps):
-            raise RuntimeError("finalize: session receipt failed verification")
+        if self.ctx.succinct is not None:
+            stats = self.ctx.hot.get(hs.exec_stats_key(job)) or {}
+            jb = stats.get("journal", b"")
+            words = [int.from_bytes(jb[i : i + 4], "little")
+                     for i in range(0, len(jb), 4)]
+            session = succinct.finalize_session(root, words,
+                                                entry_pc=image.entry)
+            if not succinct.verify_session(session, self.ctx.succinct):
+                raise RuntimeError(
+                    "finalize: session receipt failed verification")
+            claim_hex = claims.digest_bytes(root.claim.digest()).hex()
+        else:
+            session = rec.SessionReceipt.finalize(root, entry_pc=image.entry)
+            if not session.verify(ps=self.ctx.ps):
+                raise RuntimeError(
+                    "finalize: session receipt failed verification")
+            claim_hex = root.claim_digest().hex()
         self.ctx.store.put("receipts/stark", job, session)
         # publish by claim digest for composition consumers
-        self.ctx.hot.set(hs.receipt_key(root.claim_digest().hex()), root)
+        self.ctx.hot.set(hs.receipt_key(claim_hex), root)
         return dict(journal=session.journal.hex()), [
             hs.recursion_receipt_key(job, "resolved")]
 
@@ -266,7 +346,8 @@ class Agent:
         session = self.ctx.store.get("receipts/stark", d["source_job"])
         if session is None:
             raise RuntimeError("snark: missing stark receipt")
-        wrapped = g16wrap.compress(session, kind=d.get("compress", "groth16"))
+        wrapped = g16wrap.compress(session, kind=d.get("compress", "groth16"),
+                                   system=self.ctx.succinct)
         bucket = ("receipts/groth16" if d.get("compress") != "blake3_groth16"
                   else "receipts/blake3_groth16")
         self.ctx.store.put(bucket, task.job_id, wrapped)
@@ -276,6 +357,34 @@ class Agent:
 def _fwd(d):
     """Definition fields forwarded from exec to downstream tasks."""
     return dict(image_id=d["image_id"])
+
+
+def _segment_pre_chains(ex, result):
+    """Per-segment pre-chains: {seg index: {tag: [8 ints]}} — prefix folds
+    of the session's journal / input / verify word streams at each
+    segment's pre_seqs counters (JSON-safe for task definitions)."""
+    streams = {4: [int(w) for w in ex.journal_words],
+               5: [int(w) for w in ex.input_words],
+               6: [int(w) for w in ex.verify_words]}
+    seq_key = {4: "commit", 5: "read", 6: "verify"}
+    out = {}
+    chain = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
+    pos = {t: 0 for t in claims.CHAIN_TAGS}
+    for seg in result.segments:
+        for t in claims.CHAIN_TAGS:
+            upto = int(seg.pre_seqs[seq_key[t]])
+            if upto > pos[t]:
+                chain[t] = claims.fold_words(
+                    chain[t], streams[t][pos[t] : upto])
+                pos[t] = upto
+        out[seg.index] = {str(t): [int(x) for x in chain[t]]
+                          for t in claims.CHAIN_TAGS}
+    return out
+
+
+def _decode_chains(enc):
+    """Inverse of the _segment_pre_chains per-segment encoding."""
+    return {int(t): tuple(int(x) for x in v) for t, v in enc.items()}
 
 
 def run_workers(ctx: ClusterContext, counts: dict, idle_timeout=None):

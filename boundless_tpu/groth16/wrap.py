@@ -45,29 +45,51 @@ def journal_digest_blake3_style(journal: bytes) -> bytes:
     return hashlib.sha256(b"blake3-journal:" + journal).digest()
 
 
-def compress(session: SessionReceipt, kind: str = "groth16") -> Groth16Receipt:
+def _verify_session(session, system=None) -> bool:
+    """Verify either session-receipt flavor: v1 `SessionReceipt` (self-
+    verifying) or `succinct.SuccinctSessionReceipt` (needs the recursion
+    system that issued it)."""
+    if isinstance(session, SessionReceipt):
+        return session.verify()
+    from ..recursion import succinct as _succ
+
+    if system is None:
+        raise ValueError("succinct session receipt needs `system` to verify")
+    return _succ.verify_session(session, system)
+
+
+def _claim_digest_bytes(session) -> bytes:
+    cd = session.root.claim_digest()
+    if isinstance(cd, bytes):
+        return cd
+    from ..recursion import claims as _claims
+
+    return _claims.digest_bytes(cd)
+
+
+def compress(session, kind: str = "groth16", system=None) -> Groth16Receipt:
     assert kind in ("groth16", "blake3_groth16")
-    if not session.verify():
+    if not _verify_session(session, system):
         raise ValueError("cannot wrap: stark receipt fails verification")
-    claim = session.root.claim_digest()
     return Groth16Receipt(
         kind=kind,
         selector=(SELECTOR_GROTH16 if kind == "groth16"
                   else SELECTOR_BLAKE3_GROTH16),
-        claim_digest=claim,
+        claim_digest=_claim_digest_bytes(session),
         journal=session.journal,
         image_id=session.image_id,
         dev_mode=True,
         inner=session)
 
 
-def verify(receipt: Groth16Receipt, expected_image_id=None) -> bool:
+def verify(receipt: Groth16Receipt, expected_image_id=None,
+           system=None) -> bool:
     if expected_image_id is not None and tuple(
             int(x) for x in expected_image_id) != tuple(receipt.image_id):
         return False
     if receipt.dev_mode:
-        inner: SessionReceipt = receipt.inner
+        inner = receipt.inner
         return (inner.journal == receipt.journal
-                and inner.root.claim_digest() == receipt.claim_digest
-                and inner.verify())
+                and _claim_digest_bytes(inner) == receipt.claim_digest
+                and _verify_session(inner, system))
     raise NotImplementedError("non-dev groth16 verify lands with the circuit")

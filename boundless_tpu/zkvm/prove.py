@@ -101,6 +101,17 @@ def prove_segment(image: MemoryImage, seg: Segment,
                           po2=seg.po2)
 
 
+def dev_receipt(image: MemoryImage, seg: Segment,
+                ps: stark.ProofSystem = DEFAULT_PS) -> SegmentReceipt:
+    """Dev-mode fake receipt (reference `RISC0_DEV_MODE=true`,
+    SURVEY.md §4): real witness/public values and image id, no proof.
+    Instant, NOT sound — test/development fixture only."""
+    w = _gen_witness(image, seg)
+    _, image_id = _image_ctrl(image, seg.po2, ps)
+    return SegmentReceipt(proof=None, pub=w.pub, image_id=image_id,
+                          po2=seg.po2)
+
+
 def verify_segment(receipt: SegmentReceipt,
                    ps: stark.ProofSystem = DEFAULT_PS) -> bool:
     """Verify a SegmentReceipt against its claimed image id."""
