@@ -23,6 +23,7 @@ only).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,7 @@ BETA = 11  # extension field: x^4 - BETA
 EXT_DEGREE = 4
 
 _U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)
 
 # Per-order forward/reverse roots of unity, canonical form (Python ints).
 ROU_FWD = [1] * (TWO_ADICITY + 1)
@@ -60,8 +61,10 @@ assert ROU_FWD[1] == P - 1
 # ---------------------------------------------------------------------------
 
 
-def _u32c(x: int) -> jnp.ndarray:
-    return jnp.uint32(x & 0xFFFFFFFF)
+def _u32c(x: int) -> np.uint32:
+    # numpy scalar: inlined as a literal in jaxprs (Pallas kernels cannot
+    # close over device constants).
+    return np.uint32(x & 0xFFFFFFFF)
 
 
 def mul32_wide(a, b):
@@ -94,18 +97,45 @@ def mul32_wide(a, b):
 # ---------------------------------------------------------------------------
 
 
-def mont_reduce(hi, lo):
-    """Montgomery reduction of a 64-bit value (hi*2^32 + lo) -> value*R^{-1} mod P.
-
-    Requires hi*2^32 + lo < P * 2^32 (true for products of reduced elements).
-    Result is fully reduced to [0, P).
-    """
+def _mont_reduce_generic(hi, lo):
     m = lo * _u32c(NP)  # low 32 bits only, by construction
     h2, l2 = mul32_wide(m, _u32c(P))
     # lo + l2 == 0 mod 2^32 exactly; carry is 1 iff lo != 0.
     carry = (lo != 0).astype(_U32)
     res = hi + h2 + carry  # < 2P, no uint32 overflow (hi<2^30, h2<2^31)
     return jnp.where(res >= _u32c(P), res - _u32c(P), res)
+
+
+def _mont_reduce_bb(hi, lo):
+    """Baby Bear-shaped reduction: hi32(m*P) via P = 15*2^27 + 1.
+
+    m*P = t*2^27 + m with t = 15*m (36 bits), so the wide product with the
+    constant P needs only two small multiplies (by 15) instead of the
+    generic four 16x16 partials.
+    """
+    m = lo * _u32c(NP)
+    a = (m >> 16) * _u32c(15)  # < 2^20
+    b = (m & MASK16) * _u32c(15)  # < 2^20
+    t_lo = (a << 16) + b  # low 32 bits of t = 15*m
+    t_hi = (a >> 16) + (t_lo < b).astype(_U32)  # top 4 bits of t
+    u = (t_hi << 27) | (t_lo >> 5)  # floor(t / 32)
+    vm = ((t_lo & _u32c(31)) << 27) + m  # low bits of m*P (mod 2^32)
+    h2 = u + (vm < m).astype(_U32)  # hi32(m*P)
+    res = hi + h2 + (lo != 0).astype(_U32)
+    return jnp.where(res >= _u32c(P), res - _u32c(P), res)
+
+
+_REDUCE_IMPL = os.environ.get("BT_MONT_REDUCE", "bb")
+_mont_reduce = _mont_reduce_bb if _REDUCE_IMPL == "bb" else _mont_reduce_generic
+
+
+def mont_reduce(hi, lo):
+    """Montgomery reduction of a 64-bit value (hi*2^32 + lo) -> value*R^{-1} mod P.
+
+    Requires hi*2^32 + lo < P * 2^32 (true for products of reduced elements).
+    Result is fully reduced to [0, P).
+    """
+    return _mont_reduce(hi, lo)
 
 
 def mul(a, b):

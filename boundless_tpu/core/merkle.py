@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from . import field as F
 from . import poseidon2 as P2
+from . import poseidon2_pallas as P2K
 
 
 class MerkleTree(NamedTuple):
@@ -41,11 +42,20 @@ def commit(matrix) -> MerkleTree:
     """Commit to a (N, C) matrix, N a power of two."""
     n = matrix.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
-    leaves = P2.hash_elems(matrix)  # (N, 8)
+    # Leaf + inner hashing rides the Pallas VMEM-resident sponge on TPU
+    # (poseidon2_pallas.py, bit-identical); small levels / CPU use jnp.
+    if P2K.usable(n):
+        leaves = P2K.hash_rows(matrix)
+    else:
+        leaves = P2.hash_elems(matrix)  # (N, 8)
     levels = [leaves]
     cur = leaves
     while cur.shape[0] > 1:
-        cur = P2.hash_pair(cur[0::2], cur[1::2])
+        left, right = cur[0::2], cur[1::2]
+        if P2K.usable(left.shape[0]):
+            cur = P2K.hash_pairs(left, right)
+        else:
+            cur = P2.hash_pair(left, right)
         levels.append(cur)
     return MerkleTree(levels=tuple(levels), matrix=matrix)
 
