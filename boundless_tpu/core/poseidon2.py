@@ -11,9 +11,10 @@ risc0 / Poseidon2-paper Baby Bear instance:
     M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]]
   * internal matrix M_I = J + diag(mu)  (J = all-ones)
 
-Round constants and the internal diagonal are generated deterministically
-("nothing up my sleeve") from SHA-256 counters; they intentionally form our
-own parameter set — bit-exact interop with risc0's constants would require
+Round constants are generated deterministically ("nothing up my sleeve")
+from SHA-256 counters; the internal diagonal uses small addition-chain
+constants (see `_diag_values`). Together they intentionally form our own
+parameter set — bit-exact interop with risc0's constants would require
 vendoring their tables (tracked as future work in README).
 
 All functions are batched: a state is a uint32 Montgomery array (..., 24),
@@ -53,12 +54,50 @@ def _nothing_up_my_sleeve(tag: bytes, count: int) -> np.ndarray:
     return out
 
 
+# Internal-matrix diagonal spec: ("i", c) = +c, ("n", c) = -c,
+# ("h", k) = 2^-k, ("nh", k) = -2^-k. All 24 values distinct and nonzero.
+DIAG_SPEC = (
+    ("i", 1), ("i", 2), ("i", 3), ("i", 4), ("i", 5), ("i", 6),
+    ("i", 8), ("i", 12), ("i", 16),
+    ("n", 2), ("n", 3), ("n", 4), ("n", 5), ("n", 6), ("n", 8),
+    ("n", 12), ("n", 16),
+    ("h", 1), ("h", 2), ("h", 3), ("h", 4),
+    ("nh", 1), ("nh", 2), ("nh", 3),
+)
+
+
+def _diag_values() -> np.ndarray:
+    """Internal-matrix diagonal mu: small addition-chain-cheap constants.
+
+    Poseidon2's internal matrix M_I = J + diag(mu) needs the mu_i distinct
+    and the matrix free of invariant subspaces (tests/test_hash.py checks
+    the Krylov rank of M_I is full, i.e. its minimal polynomial has degree
+    WIDTH). Small +-c and +-2^-k values make the 21 partial-round diagonal
+    multiplies shift/add chains instead of Montgomery products on the TPU —
+    the same instance family public Baby Bear Poseidon2 deployments use
+    (Plonky3-style +-small / +-2^-k diagonals).
+    """
+    inv2 = (F.P + 1) // 2
+    out = []
+    for op, k in DIAG_SPEC:
+        if op == "i":
+            out.append(k % F.P)
+        elif op == "n":
+            out.append((-k) % F.P)
+        elif op == "h":
+            out.append(pow(inv2, k, F.P))
+        else:  # "nh"
+            out.append((-pow(inv2, k, F.P)) % F.P)
+    assert len(set(out)) == WIDTH and 0 not in out
+    return np.array(out, dtype=np.int64)
+
+
 @functools.lru_cache(maxsize=1)
 def _constants():
     """(external_rc (8,24), internal_rc (21,), mu (24,)) in Montgomery form."""
     ext_rc = _nothing_up_my_sleeve(b"ext", ROUNDS_FULL * WIDTH).reshape(ROUNDS_FULL, WIDTH)
     int_rc = _nothing_up_my_sleeve(b"int", ROUNDS_PARTIAL)
-    mu = _nothing_up_my_sleeve(b"diag", WIDTH)
+    mu = _diag_values()
     to = lambda a: np.vectorize(F.mont)(a).astype(np.uint32)
     return to(ext_rc), to(int_rc), to(mu)
 

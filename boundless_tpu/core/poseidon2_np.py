@@ -26,7 +26,7 @@ def _consts():
     ext_rc = P2._nothing_up_my_sleeve(b"ext", P2.ROUNDS_FULL * WIDTH
                                       ).reshape(P2.ROUNDS_FULL, WIDTH)
     int_rc = P2._nothing_up_my_sleeve(b"int", P2.ROUNDS_PARTIAL)
-    mu = P2._nothing_up_my_sleeve(b"diag", WIDTH)
+    mu = P2._diag_values()
     return ext_rc, int_rc, mu
 
 

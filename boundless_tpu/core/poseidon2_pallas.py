@@ -74,6 +74,55 @@ def _sbox(x):
     return F.mul(x6, x)
 
 
+_HALF = np.uint32((F.P + 1) // 2)  # 2^-1 mod P
+
+
+def _halve(x):
+    """x * 2^-1 mod P: odd residues add (P+1)/2 after the shift."""
+    return (x >> 1) + (x & np.uint32(1)) * _HALF
+
+
+def _small_any(x, c: int):
+    """c * x (mod P) for small c via a doubling chain (c in 1..16)."""
+    if c <= 7:
+        return _small(x, c)
+    if c == 8:
+        return _small(F.add(x, x), 4)
+    if c == 12:
+        return _small(F.add(x, x), 6)
+    if c == 16:
+        d = F.add(x, x)
+        return _small(F.add(d, d), 4)
+    raise ValueError(c)
+
+
+def _mul_diag_t(s):
+    """diag(mu) @ state for transposed (24, T) state.
+
+    The diagonal is the addition-chain-cheap DIAG_SPEC set
+    (core/poseidon2.py): each cell costs a few shifts/adds instead of a
+    Montgomery product — this is the partial rounds' dominant linear cost.
+    """
+    rows = []
+    for i, (op, k) in enumerate(P2.DIAG_SPEC):
+        x = s[i : i + 1]
+        if op == "i":
+            r = _small_any(x, k)
+        elif op == "n":
+            r = F.neg(_small_any(x, k))
+        elif op == "h":
+            r = x
+            for _ in range(k):
+                r = _halve(r)
+        else:  # "nh"
+            r = x
+            for _ in range(k):
+                r = _halve(r)
+            r = F.neg(r)
+        rows.append(r)
+    return jnp.concatenate(rows, axis=0)
+
+
 def _ext_linear_t(s):
     """M_E @ state for transposed state (24, T): per-chunk M4 + chunk-sum."""
     ts = []
@@ -131,7 +180,7 @@ def _permute_t(state, ext_rc_t, int_rc, mu_col):
         rc = int_rc[0:1, r : r + 1]  # (1, 1)
         s0 = _sbox(F.add(s[0:1], rc))
         s = jnp.concatenate([s0, s[1:]], axis=0)
-        return F.add(F.mul(s, mu_col), _row_sum(s))
+        return F.add(_mul_diag_t(s), _row_sum(s))
 
     state = _ext_linear_t(state)
     for r in range(half):

@@ -144,6 +144,11 @@ def combine_constraints(cons, alpha, at_deep: bool):
     cons items: base array, ExtVal (ext array), or VecVal ((..., G) base
     array consuming G α-powers). At the DEEP point base/VecVal values are
     already ext: base -> (4,), VecVal -> (G, 4).
+
+    Pointwise (prover) evaluation batches every base-field constraint
+    column into one (M, K) @ (K, 4) MXU product (`core/bbmm.py`) — the
+    α-combine is the prover's hottest non-hash loop. ExtVal constraints
+    (few) stay on the VPU; results are bit-identical either way.
     """
     # Assign α-power offsets.
     sizes = []
@@ -155,26 +160,49 @@ def combine_constraints(cons, alpha, at_deep: bool):
     total = sum(sizes)
     apows = NTT.ext_powers(alpha, total)  # (total, 4)
 
+    if not at_deep:
+        return _combine_pointwise(cons, sizes, apows)
+
     acc = None
     k = 0
     for c, g in zip(cons, sizes):
         if isinstance(c, VecVal):
-            v = c.v
-            if at_deep:  # (G, 4) ext values
-                term = F.sum_mod(F.ext_mul(apows[k : k + g], v), axis=0)
-            else:  # (M, G) base — chunked weighted sum (bounds memory)
-                term = _weighted_col_sum(v, apows[k : k + g])
+            term = F.sum_mod(F.ext_mul(apows[k : k + g], c.v), axis=0)
         else:
-            is_ext = isinstance(c, ExtVal) or at_deep
             if isinstance(c, ExtVal):
                 c = c.v
-            w = apows[k]
-            if is_ext:
-                term = F.ext_mul(jnp.broadcast_to(w, c.shape), c)
-            else:
-                term = F.ext_scale(jnp.broadcast_to(w, c.shape + (EXT,)), c)
+            term = F.ext_mul(jnp.broadcast_to(apows[k], c.shape), c)
         acc = term if acc is None else F.ext_add(acc, term)
         k += g
+    return acc
+
+
+def _combine_pointwise(cons, sizes, apows):
+    """Pointwise α-combine: one MXU weighted sum over all base columns."""
+    from ..core import bbmm
+
+    base_cols = []  # (M,) or (M, G) base-field arrays, in α order
+    base_weights = []  # matching (G, 4) weight blocks
+    acc = None
+    k = 0
+    for c, g in zip(cons, sizes):
+        if isinstance(c, VecVal):
+            base_cols.append(c.v)
+            base_weights.append(apows[k : k + g])
+        elif isinstance(c, ExtVal):
+            term = F.ext_mul(jnp.broadcast_to(apows[k], c.v.shape), c.v)
+            acc = term if acc is None else F.ext_add(acc, term)
+        else:
+            base_cols.append(c[:, None])
+            base_weights.append(apows[k : k + 1])
+        k += g
+    if base_cols:
+        values = jnp.concatenate(base_cols, axis=1)  # (M, K)
+        weights = jnp.concatenate(base_weights, axis=0)  # (K, 4)
+        # bb_weighted_sum folds in one R^-1 (Montgomery-product semantics),
+        # identical to per-term F.mul — same as the ExtVal path above.
+        term = bbmm.bb_weighted_sum(values, weights)
+        acc = term if acc is None else F.ext_add(acc, term)
     return acc
 
 
@@ -441,6 +469,8 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
 
     All inputs live on the commit domain g*H_{commit_expand*N}.
     """
+    from ..core import bbmm
+
     big = commit_expand * n
     ct = trace_evals.shape[1]
     total = 2 * ct + CHECK_COLS
@@ -458,13 +488,20 @@ def _deep_combo_evals(trace_evals, trace_taps, check_evals, taps_check,
                      jnp.broadcast_to(points[:, None, :], (3, big, EXT)))
     inv_dens = F.ext_inv(dens)  # (3, 4N, 4)
 
+    # The z- and zg-weighted sums read the same (cN, Ct) eval matrix:
+    # fuse them into a single MXU weighted sum with an 8-wide weight
+    # block (core/bbmm.py) so the limb decomposition happens once.
+    s_both = bbmm.bb_weighted_sum(
+        trace_evals, jnp.concatenate([w_z, w_zg], axis=1))  # (cN, 8)
+    sums = (s_both[:, :EXT], s_both[:, EXT:],
+            bbmm.bb_weighted_sum(check_evals, w_check))
+
     combo = jnp.zeros((big, EXT), dtype=jnp.uint32)
-    for i, (weights, evals, taps) in enumerate((
-        (w_z, trace_evals, trace_taps[:, 0]),
-        (w_zg, trace_evals, trace_taps[:, 1]),
-        (w_check, check_evals, taps_check),
+    for i, (weights, taps, s) in enumerate((
+        (w_z, trace_taps[:, 0], sums[0]),
+        (w_zg, trace_taps[:, 1], sums[1]),
+        (w_check, taps_check, sums[2]),
     )):
-        s = _weighted_col_sum(evals, weights)  # (4N, 4)
         cp = F.sum_mod(F.ext_mul(weights, taps), axis=0)  # (4,)
         num = F.ext_sub(s, jnp.broadcast_to(cp, s.shape))
         combo = F.ext_add(combo, F.ext_mul(num, inv_dens[i]))

@@ -175,7 +175,7 @@ def _poseidon_consts():
     ext_rc = _nothing_up_my_sleeve(b"ext", ROUNDS_FULL * WIDTH).reshape(
         ROUNDS_FULL, WIDTH)
     int_rc = _nothing_up_my_sleeve(b"int", ROUNDS_PARTIAL)
-    mu = _nothing_up_my_sleeve(b"diag", WIDTH)
+    mu = P2._diag_values()
     return ext_rc, int_rc, mu
 
 

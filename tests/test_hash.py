@@ -87,3 +87,57 @@ def test_transcript_determinism_and_divergence():
     assert a != c
     idx = np.asarray(t1.sample_indices(10, 5))
     assert idx.shape == (10,) and (idx >= 0).all() and (idx < 32).all()
+
+
+def test_internal_matrix_no_invariant_subspace():
+    """M_I = J + diag(mu) must have a full-degree minimal polynomial.
+
+    The small-constant diagonal (P2.DIAG_SPEC) is only safe if the
+    internal matrix has no invariant subspaces; full Krylov rank of
+    [v, M v, ..., M^23 v] for a random v certifies minimal-polynomial
+    degree 24 (Poseidon2 paper requirement).
+    """
+    from boundless_tpu.core import poseidon2 as P2
+
+    mu = P2._diag_values()
+    assert len(set(int(x) for x in mu)) == P2.WIDTH and 0 not in mu
+    P = F.P
+    M = np.ones((24, 24), dtype=np.int64)
+    M[np.arange(24), np.arange(24)] = (M[np.arange(24), np.arange(24)] + mu) % P
+    r = np.random.default_rng(7).integers(1, P, 24, dtype=np.int64)
+    K = np.empty((24, 24), dtype=np.int64)
+    v = r % P
+    for i in range(24):
+        K[i] = v
+        v = (M @ v) % P
+    # Gaussian elimination mod P to compute rank
+    A = K.copy()
+    rank = 0
+    for col in range(24):
+        piv = None
+        for row in range(rank, 24):
+            if A[row, col] % P:
+                piv = row
+                break
+        if piv is None:
+            continue
+        A[[rank, piv]] = A[[piv, rank]]
+        inv = pow(int(A[rank, col]), P - 2, P)
+        A[rank] = A[rank] * inv % P
+        for row in range(24):
+            if row != rank and A[row, col] % P:
+                A[row] = (A[row] - A[row, col] * A[rank]) % P
+        rank += 1
+    assert rank == 24
+
+
+def test_pallas_diag_chain_parity():
+    """The Pallas small-constant diagonal path == montmul by mu."""
+    from boundless_tpu.core import poseidon2 as P2
+    from boundless_tpu.core import poseidon2_pallas as P2K
+
+    ext_rc, int_rc, mu = P2._constants()
+    s = F.fp(rng.integers(0, F.P, size=(24, 8), dtype=np.int64))
+    ref = F.mul(s, jnp.asarray(mu)[:, None])
+    got = P2K._mul_diag_t(s)
+    assert jnp.array_equal(ref, got)
