@@ -128,12 +128,34 @@ def cmd_cluster_serve(args):
         queries=int(ps_cfg.get("queries", 100)),
         fri_min_degree=int(ps_cfg.get("fri_min_degree", 256)),
         commit_expand=int(ps_cfg.get("commit_expand", 2)))
+    # Succinct recursion is the default serving mode (constant-size
+    # receipts; reference clusters always lift+join, prove.rs:68-95).
+    mode = cfg.get("succinct", getattr(args, "succinct", "real"))
+    system, dev_mode = None, False
+    if mode == "real":
+        from .recursion import succinct as S
+
+        rec_cfg = cfg.get("recursion", {})
+        rec_ps = stark.ProofSystem(
+            queries=int(rec_cfg.get("queries", ps.queries)),
+            fri_min_degree=int(rec_cfg.get("fri_min_degree",
+                                           ps.fri_min_degree)),
+            commit_expand=int(rec_cfg.get("commit_expand",
+                                          ps.commit_expand)))
+        system = S.get_system(S.SuccinctParams(
+            seg_po2=int(cfg.get("segment_po2", args.po2)), seg_ps=ps,
+            rec_po2=int(rec_cfg.get("rec_po2", 16)), rec_ps=rec_ps))
+    elif mode == "dev":
+        from .recursion import succinct as S
+
+        system, dev_mode = S.DevModeSystem(), True
     ctx = ClusterContext(
         db=MemoryBackend(),
         hot=HotStore(float(cfg.get("hot_store_ttl_secs", 28800))),
         store=SharedFs(cfg.get("storage_root") or args.storage),
         ps=ps,
-        segment_po2=int(cfg.get("segment_po2", args.po2)))
+        segment_po2=int(cfg.get("segment_po2", args.po2)),
+        succinct=system, dev_mode=dev_mode)
     api = ClusterApi(ctx)
     port = int(cfg.get("api", {}).get("port", args.port))
     server, thread = make_http_server(api, port=port)
@@ -146,6 +168,18 @@ def cmd_cluster_serve(args):
             time.sleep(1)
     except KeyboardInterrupt:
         server.shutdown()
+
+
+def cmd_cluster_worker(args):
+    """Attach a worker to a remote cluster API over HTTP."""
+    from .cluster.remote import worker_main
+
+    argv = ["--api-url", args.api_url, "--stream", args.stream]
+    if args.worker_id:
+        argv += ["--worker-id", args.worker_id]
+    if args.idle_timeout is not None:
+        argv += ["--idle-timeout", str(args.idle_timeout)]
+    worker_main(argv)
 
 
 def cmd_requestor_submit(args):
@@ -184,7 +218,20 @@ def main(argv=None):
     sv.add_argument("--storage", default=None)
     sv.add_argument("--config", default=None,
                     help="deploy descriptor (deploy/cluster.json)")
+    sv.add_argument("--succinct", choices=("real", "dev", "off"),
+                    default="real",
+                    help="recursion mode (default: real succinct receipts)")
     sv.set_defaults(fn=cmd_cluster_serve)
+
+    wk = cluster.add_parser(
+        "worker", help="HTTP-attached worker process (zero shared memory)")
+    wk.add_argument("--api-url", required=True)
+    wk.add_argument("--stream", required=True,
+                    help="comma-separated subset of "
+                         "exec,prove,join,coproc,snark,aux")
+    wk.add_argument("--worker-id", default="")
+    wk.add_argument("--idle-timeout", type=float, default=None)
+    wk.set_defaults(fn=cmd_cluster_worker)
 
     requestor = sub.add_parser("requestor").add_subparsers(dest="cmd",
                                                            required=True)

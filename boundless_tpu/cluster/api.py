@@ -4,15 +4,27 @@ Re-design of the reference API service (`prover/crates/api/src/lib.rs`,
 routes :1162-1194): stdlib http.server (no third-party web framework in the
 image), same route shapes:
 
-  PUT  /images/upload/<image_id>          body: pickled MemoryImage
+  PUT  /images/upload/<image_id>          body: BTIM image wire format
   PUT  /inputs/upload/<input_id>          body: raw input bytes
   POST /sessions/create                   {img, input, execute_only?, po2?}
   GET  /sessions/status/<job_id>          {status, stats...}
-  GET  /receipts/stark/<job_id>           pickled SessionReceipt
+  GET  /receipts/stark/<job_id>           versioned receipt wire format
   GET  /journal/<job_id>                  raw journal bytes
   POST /snark/create                      {session_id, compress}
   GET  /snark/status/<job_id>
   GET  /workers/metrics                   task-state counts (prometheus-ish)
+
+plus the cross-process worker plane (reference worker claim/hot-store
+endpoints, `prover/crates/api/src/lib.rs:922-1042` + `workflow/src/
+assets.rs:14-120`):
+
+  POST   /workers/tasks/claim/<stream>    -> task or {"task": null}
+  POST   /workers/tasks/done              {job_id, task_id, output, cleanup}
+  POST   /workers/tasks/retry             {job_id, task_id, error}
+  POST   /workers/maintenance             run aux crons once
+  GET    /workers/config                  cluster parameters for workers
+  GET/PUT/DELETE /workers/hot/<key>       hot-store value (versioned wire)
+  GET/PUT        /workers/obj?bucket=&key=  object-store plane
 
 Falls back to the object store for sessions already GC'd from the taskdb
 (reference api/src/lib.rs:545-560).
@@ -21,7 +33,6 @@ Falls back to the object store for sessions already GC'd from the taskdb
 from __future__ import annotations
 
 import json
-import pickle
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -81,7 +92,14 @@ class ClusterApi:
         return out
 
     def receipt(self, job_id: str):
-        return self.ctx.store.get_bytes("receipts/stark", job_id + "")
+        """Receipt in the versioned wire format (never pickle on the wire;
+        reference serves bincode receipts, finalize.rs:76-88)."""
+        from ..utils import serde
+
+        obj = self.ctx.store.get("receipts/stark", job_id)
+        if obj is None:
+            return None
+        return serde.dump_session_receipt(obj)
 
     def receipt_obj(self, job_id: str):
         return self.ctx.store.get("receipts/stark", job_id)
@@ -95,6 +113,120 @@ class ClusterApi:
             "snark", dict(kind="snark", source_job=req["session_id"],
                           compress=req.get("compress", "groth16")))
         return {"uuid": job_id}
+
+    # -- cross-process worker plane --------------------------------------
+    # Reference: GPU workers are fully API-mediated with zero shared
+    # memory — claim/done/retry over HTTP (`prover/crates/api/src/
+    # lib.rs:922-1042`) plus a hot-store proxy (`:1002-1042`) and asset
+    # streaming (`workflow/src/assets.rs:14-120`).
+
+    def worker_config(self) -> dict:
+        """Cluster parameters a remote worker needs to reconstruct an
+        equivalent ClusterContext (proof system, succinct mode, po2)."""
+        ps = self.ctx.ps
+        out = dict(segment_po2=self.ctx.segment_po2,
+                   exec_cycle_limit=self.ctx.exec_cycle_limit,
+                   dev_mode=self.ctx.dev_mode,
+                   ps=dict(queries=ps.queries,
+                           fri_min_degree=ps.fri_min_degree,
+                           commit_expand=ps.commit_expand),
+                   succinct=None)
+        s = self.ctx.succinct
+        if s is not None:
+            if hasattr(s, "DEV_ROOT"):
+                out["succinct"] = "dev"
+            else:
+                p = s.params
+                out["succinct"] = "real"
+                out["succinct_params"] = dict(
+                    seg_po2=p.seg_po2, rec_po2=p.rec_po2,
+                    seg_ps=dict(queries=p.seg_ps.queries,
+                                fri_min_degree=p.seg_ps.fri_min_degree,
+                                commit_expand=p.seg_ps.commit_expand),
+                    rec_ps=dict(queries=p.rec_ps.queries,
+                                fri_min_degree=p.rec_ps.fri_min_degree,
+                                commit_expand=p.rec_ps.commit_expand))
+        return out
+
+    def worker_claim(self, stream: str, worker_id: str) -> dict:
+        task = self.ctx.db.request_work(stream, worker_id, timeout=0.0)
+        if task is None:
+            return {"task": None}
+        return {"task": dict(job_id=task.job_id, task_id=task.task_id,
+                             stream=task.stream, definition=task.definition,
+                             retries=task.retries,
+                             max_retries=task.max_retries)}
+
+    def worker_create_task(self, req: dict) -> dict:
+        """Remote exec agents drive the planner: they create downstream
+        prove/join/resolve/finalize tasks through this endpoint."""
+        self.ctx.db.create_task(req["job_id"], req["task_id"], req["stream"],
+                                req["definition"], req.get("prereqs") or [])
+        return {"ok": True}
+
+    def worker_done(self, req: dict) -> dict:
+        self.ctx.db.update_task_done(req["job_id"], req["task_id"],
+                                     req.get("output") or {})
+        cleanup = req.get("cleanup") or []
+        if cleanup:
+            self.ctx.hot.delete(*cleanup)
+        return {"ok": True}
+
+    def worker_retry(self, req: dict) -> dict:
+        retried = self.ctx.db.update_task_retry(
+            req["job_id"], req["task_id"], req.get("error", ""))
+        return {"retried": bool(retried)}
+
+    def worker_maintenance(self, req: dict) -> dict:
+        op = req.get("op", "all")
+        out = {}
+        if op in ("requeue", "all"):
+            out["requeued"] = self.ctx.db.requeue_expired()
+        if op in ("stuck", "all"):
+            out["stuck_fixed"] = self.ctx.db.fix_stuck_pending()
+        if op in ("purge", "all"):
+            out["purged"] = self.ctx.hot.purge_expired()
+        return out
+
+    def hot_get(self, key: str):
+        from ..utils import serde
+
+        value = self.ctx.hot.get(key)
+        if value is None:
+            return None
+        return serde.dump_obj(value, "hot")
+
+    def hot_put(self, key: str, body: bytes, ttl=None):
+        from ..utils import serde
+
+        self.ctx.hot.set(key, serde.load_obj(body, "hot"), ttl=ttl)
+        return {"ok": True}
+
+    def hot_delete(self, key: str):
+        self.ctx.hot.delete(key)
+        return {"ok": True}
+
+    def obj_get(self, bucket: str, key: str, mode: str):
+        from ..utils import serde
+
+        if mode == "bytes":
+            return self.ctx.store.get_bytes(bucket, key)
+        obj = self.ctx.store.get(bucket, key)
+        if obj is None:
+            return None
+        return serde.dump_obj(obj, "obj")
+
+    def obj_put(self, bucket: str, key: str, body: bytes, mode: str):
+        from ..utils import serde
+
+        if mode == "bytes":
+            self.ctx.store.put_bytes(bucket, key, body)
+        else:
+            self.ctx.store.put(bucket, key, serde.load_obj(body, "obj"))
+        return {"ok": True}
+
+    def obj_exists(self, bucket: str, key: str) -> dict:
+        return {"exists": self.ctx.store.exists(bucket, key)}
 
     # -- metrics --------------------------------------------------------
     def metrics(self) -> dict:
@@ -135,33 +267,71 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
 
+        def _route(self):
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+            return u.path.strip("/").split("/"), qs
+
         def do_PUT(self):
-            parts = self.path.strip("/").split("/")
+            parts, qs = self._route()
             try:
                 if parts[:2] == ["images", "upload"]:
                     self._send(200, api.upload_image(parts[2], self._body()))
                 elif parts[:2] == ["inputs", "upload"]:
                     self._send(200, api.upload_input(parts[2], self._body()))
+                elif parts[:2] == ["workers", "hot"]:
+                    key = "/".join(parts[2:])
+                    ttl = self.headers.get("X-TTL")
+                    self._send(200, api.hot_put(
+                        key, self._body(),
+                        ttl=float(ttl) if ttl else None))
+                elif parts == ["workers", "obj"]:
+                    self._send(200, api.obj_put(
+                        qs["bucket"], qs["key"], self._body(),
+                        qs.get("mode", "obj")))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
         def do_POST(self):
-            parts = self.path.strip("/").split("/")
+            parts, qs = self._route()
             try:
                 req = json.loads(self._body() or b"{}")
                 if parts == ["sessions", "create"]:
                     self._send(200, api.create_session(req))
                 elif parts == ["snark", "create"]:
                     self._send(200, api.create_snark(req))
+                elif parts[:3] == ["workers", "tasks", "claim"]:
+                    self._send(200, api.worker_claim(
+                        parts[3], req.get("worker_id", "")))
+                elif parts == ["workers", "tasks", "create"]:
+                    self._send(200, api.worker_create_task(req))
+                elif parts == ["workers", "tasks", "done"]:
+                    self._send(200, api.worker_done(req))
+                elif parts == ["workers", "tasks", "retry"]:
+                    self._send(200, api.worker_retry(req))
+                elif parts == ["workers", "maintenance"]:
+                    self._send(200, api.worker_maintenance(req))
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+        def do_DELETE(self):
+            parts, _qs = self._route()
+            try:
+                if parts[:2] == ["workers", "hot"]:
+                    self._send(200, api.hot_delete("/".join(parts[2:])))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
         def do_GET(self):
-            parts = self.path.strip("/").split("/")
+            parts, qs = self._route()
             try:
                 if parts[:2] == ["sessions", "status"]:
                     self._send(200, api.session_status(parts[2]))
@@ -179,6 +349,26 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
                         self._send(404, {"error": "no journal"})
                     else:
                         self._send(200, data, "application/octet-stream")
+                elif parts == ["workers", "config"]:
+                    self._send(200, api.worker_config())
+                elif parts[:2] == ["workers", "hot"]:
+                    data = api.hot_get("/".join(parts[2:]))
+                    if data is None:
+                        self._send(404, {"error": "no value"})
+                    else:
+                        self._send(200, data, "application/octet-stream")
+                elif parts == ["workers", "obj"]:
+                    if qs.get("mode") == "exists":
+                        self._send(200, api.obj_exists(qs["bucket"],
+                                                       qs["key"]))
+                    else:
+                        data = api.obj_get(qs["bucket"], qs["key"],
+                                           qs.get("mode", "obj"))
+                        if data is None:
+                            self._send(404, {"error": "no object"})
+                        else:
+                            self._send(200, data,
+                                       "application/octet-stream")
                 elif parts == ["workers", "metrics"]:
                     self._send(200, api.metrics())
                 elif parts == ["metrics"]:
@@ -238,7 +428,10 @@ class BentoClient:
         raise TimeoutError(f"session {job_id} still running")
 
     def receipt(self, job_id: str):
-        return pickle.loads(self._req("GET", f"/receipts/stark/{job_id}"))
+        from ..utils import serde
+
+        return serde.load_session_receipt(
+            self._req("GET", f"/receipts/stark/{job_id}"))
 
     def journal(self, job_id: str) -> bytes:
         return self._req("GET", f"/journal/{job_id}")
