@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-import hmac
+
 from typing import Dict, List, Optional, Tuple
 
 from .chain import MarketChain, MarketError
@@ -87,35 +87,55 @@ class AssessorReceipt:
     root: bytes
     prover: str
     dev_mode: bool
-    mac: bytes  # host attestation (guest proof lands next round)
+    signature: bytes  # assessor ECDSA attestation (guest proof: roadmap)
+
+    def signing_digest(self) -> bytes:
+        from . import crypto as C
+
+        return C.keccak256(b"assessor-journal:" + self.root
+                           + self.prover.encode())
 
 
 class Assessor:
     """Checks fills against signed requests and attests to the set root
-    (reference `crates/assessor` + assessor-guest/src/main.rs:24-115)."""
+    (reference `crates/assessor` + assessor-guest/src/main.rs:24-115).
 
-    def __init__(self, secret: bytes = b"assessor-dev-key"):
-        self._secret = secret
+    Per-fill checks mirror the assessor guest: the request's EIP-712
+    ECDSA signature must recover to its client address, and the
+    requirement predicate must hold over (journal, claim digest). The
+    attestation over the Merkle root is the assessor wallet's ECDSA
+    signature — a host attestation with a real key, until the assessor
+    guest proof lands (tracked in docs/PARITY.md).
+    """
+
+    def __init__(self, wallet=None):
+        from . import crypto as C
+
+        self.wallet = wallet or C.Wallet.from_seed(b"assessor-dev-key")
+        self.address = self.wallet.address
 
     def assess(self, fills: List[Tuple[ProofRequest, bytes, Fulfillment]],
                prover: str) -> AssessorReceipt:
         leaves = []
         for req, sig, fill in fills:
-            secret_known = True  # sig pre-checked by chain at submit time
+            if not verify_signature(req, sig):
+                raise MarketError("assessor: bad request signature")
             if not req.requirements.predicate.eval(fill.journal,
                                                    fill.claim_digest):
                 raise MarketError("assessor: predicate failed")
             leaves.append(fill_leaf(req.id.encoded(), fill.claim_digest,
                                     fill.journal))
         root = merkle_root(leaves)
-        mac = hmac.new(self._secret, root + prover.encode(), "sha256").digest()
-        return AssessorReceipt(root=root, prover=prover, dev_mode=True,
-                               mac=mac)
+        receipt = AssessorReceipt(root=root, prover=prover, dev_mode=True,
+                                  signature=b"")
+        return dataclasses.replace(
+            receipt, signature=self.wallet.sign(receipt.signing_digest()))
 
     def verify(self, receipt: AssessorReceipt) -> bool:
-        mac = hmac.new(self._secret, receipt.root + receipt.prover.encode(),
-                       "sha256").digest()
-        return hmac.compare_digest(mac, receipt.mac)
+        from . import crypto as C
+
+        return C.recover_address(receipt.signing_digest(),
+                                 receipt.signature) == self.address
 
 
 @dataclasses.dataclass

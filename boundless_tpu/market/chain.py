@@ -48,12 +48,12 @@ class MarketChain:
         self.locks: Dict[str, RequestLock] = {}
         self.fulfilled: Dict[str, Fulfillment] = {}
         self.slashed: set = set()
-        self.account_keys: Dict[str, bytes] = {}  # address -> signing secret
 
     # -- accounts -------------------------------------------------------
-    def create_account(self, address: str, secret: bytes, funds: int = 0):
+    # No key registry: request auth is ECDSA recovery against the
+    # client address in the request id (reference EIP-712 model).
+    def create_account(self, address: str, funds: int = 0):
         with self._lock:
-            self.account_keys[address] = secret
             self.balances[address] = self.balances.get(address, 0) + funds
 
     def deposit(self, address: str, amount: int):
@@ -83,9 +83,7 @@ class MarketChain:
             rid = request.id.encoded()
             if rid in self.requests:
                 raise MarketError("duplicate request id")
-            secret = self.account_keys.get(request.id.client)
-            if secret is None or not verify_signature(request, secret,
-                                                      signature):
+            if not verify_signature(request, signature):
                 raise MarketError("bad request signature")
             self.requests[rid] = request
             self.request_sigs[rid] = signature

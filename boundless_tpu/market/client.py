@@ -141,11 +141,13 @@ class LocalStorageProvider:
 class Client:
     """Requestor client (reference Client/ClientBuilder)."""
 
-    def __init__(self, chain: MarketChain, address: str, secret: bytes,
+    def __init__(self, chain: MarketChain, wallet,
                  storage_provider=None, order_stream=None, clock=time.time):
+        """`wallet`: a crypto.Wallet — the client address is derived from
+        its key (EIP-712 + ECDSA recovery; no shared secrets)."""
         self.chain = chain
-        self.address = address
-        self.secret = secret
+        self.wallet = wallet
+        self.address = wallet.address
         self.storage = storage_provider
         self.order_stream = order_stream
         self.clock = clock
@@ -171,13 +173,13 @@ class Client:
 
     # -- submission -----------------------------------------------------
     def submit_onchain(self, request: ProofRequest) -> str:
-        sig = sign_request(request, self.secret)
+        sig = sign_request(request, self.wallet)
         self.chain.submit_request(request, sig)
         return request.id.encoded()
 
     def submit_offchain(self, request: ProofRequest) -> str:
         assert self.order_stream is not None, "no order-stream configured"
-        sig = sign_request(request, self.secret)
+        sig = sign_request(request, self.wallet)
         self.order_stream.submit(request, sig)
         return request.id.encoded()
 

@@ -16,16 +16,17 @@ from .types import ProofRequest, verify_signature
 
 
 class OrderStream:
-    def __init__(self, account_keys: dict):
+    def __init__(self):
         self._subs: List[Callable] = []
         self._orders: list = []
         self._lock = threading.Lock()
-        self._keys = account_keys  # address -> secret (auth database)
         self.heartbeats: dict = {}  # address -> last heartbeat ts
 
     def submit(self, request: ProofRequest, signature: bytes):
-        secret = self._keys.get(request.id.client)
-        if secret is None or not verify_signature(request, secret, signature):
+        # ECDSA recovery against the request's client address — same
+        # auth model as the reference order-stream's signature checks
+        # (`crates/order-stream/src/lib.rs` ECDSA-authenticated submit).
+        if not verify_signature(request, signature):
             raise PermissionError("bad order signature")
         with self._lock:
             self._orders.append((request, signature))

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import hashlib
-import hmac
+
 import json
 import time
 from typing import Optional
@@ -106,27 +106,69 @@ class ProofRequest:
     offer: Offer
 
     def signing_digest(self) -> bytes:
-        """EIP-712-style typed-data digest over the canonical encoding."""
-        blob = json.dumps({
-            "domain": DOMAIN,
-            "id": self.id.encoded(),
-            "image_id": self.requirements.image_id,
-            "predicate": [self.requirements.predicate.kind.value,
-                          self.requirements.predicate.data.hex()],
-            "image_url": self.image_url,
-            "input": self.input_data.hex(),
-            "offer": dataclasses.asdict(self.offer),
-        }, sort_keys=True)
-        return hashlib.sha256(blob.encode()).digest()
+        """EIP-712 typed-data digest (keccak-256 throughout).
+
+        Struct layout mirrors the reference's on-chain typed data
+        (`contracts/src/types/*.sol` + SDK EIP-712 bindings): nested
+        Predicate / Requirements / Offer struct hashes, dynamic members
+        pre-hashed per the EIP-712 spec.
+        """
+        from . import crypto as C
+
+        pred = C.hash_struct(
+            "Predicate(uint8 predicateType,bytes data)",
+            [PREDICATE_TYPE_IDS[self.requirements.predicate.kind],
+             C.keccak256(self.requirements.predicate.data)])
+        reqs = C.hash_struct(
+            "Requirements(bytes32 imageId,bytes32 predicate,"
+            "bytes32 callback,bytes32 selector)",
+            [C.keccak256(self.requirements.image_id.encode()), pred,
+             C.keccak256((self.requirements.callback or "").encode()),
+             C.keccak256((self.requirements.selector or "").encode())])
+        offer = C.hash_struct(
+            "Offer(uint256 minPrice,uint256 maxPrice,uint64 biddingStart,"
+            "uint32 rampUpPeriod,uint32 lockTimeout,uint32 timeout,"
+            "uint256 lockCollateral)",
+            [self.offer.min_price, self.offer.max_price,
+             int(self.offer.bidding_start), int(self.offer.ramp_up_period),
+             int(self.offer.lock_timeout), int(self.offer.timeout),
+             self.offer.lock_collateral])
+        root = C.hash_struct(
+            "ProofRequest(bytes32 id,bytes32 requirements,bytes32 imageUrl,"
+            "bytes32 input,bytes32 offer)",
+            [C.keccak256(self.id.encoded().encode()), reqs,
+             C.keccak256(self.image_url.encode()),
+             C.keccak256(self.input_data), offer])
+        return C.typed_data_digest(_domain_separator(), root)
 
 
-def sign_request(request: ProofRequest, secret: bytes) -> bytes:
-    """Detached signature (HMAC stand-in for ECDSA; same protocol shape)."""
-    return hmac.new(secret, request.signing_digest(), "sha256").digest()
+PREDICATE_TYPE_IDS = {PredicateType.DIGEST_MATCH: 0,
+                      PredicateType.PREFIX_MATCH: 1,
+                      PredicateType.CLAIM_MATCH: 2}
+
+_MARKET_CONTRACT = "0x" + hashlib.sha256(DOMAIN.encode()).hexdigest()[:40]
 
 
-def verify_signature(request: ProofRequest, secret: bytes, sig: bytes) -> bool:
-    return hmac.compare_digest(sign_request(request, secret), sig)
+def _domain_separator() -> bytes:
+    from . import crypto as C
+
+    return C.domain_separator("boundless-tpu-market", "1", 1,
+                              _MARKET_CONTRACT)
+
+
+def sign_request(request: ProofRequest, wallet) -> bytes:
+    """ECDSA (secp256k1) over the EIP-712 digest. `wallet` is a
+    crypto.Wallet (or anything with .sign(digest))."""
+    return wallet.sign(request.signing_digest())
+
+
+def verify_signature(request: ProofRequest, sig: bytes) -> bool:
+    """True iff the signature recovers to the request's client address —
+    pure recovery, no key registry (reference assessor-guest semantics)."""
+    from . import crypto as C
+
+    addr = C.recover_address(request.signing_digest(), sig)
+    return addr is not None and addr == request.id.client.lower()
 
 
 @dataclasses.dataclass

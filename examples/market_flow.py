@@ -27,6 +27,7 @@ def main():
     from boundless_tpu.cluster.storage import SharedFs
     from boundless_tpu.market.broker.pipeline import Broker, BrokerConfig
     from boundless_tpu.market.chain import MarketChain
+    from boundless_tpu.market.crypto import Wallet
     from boundless_tpu.market.client import Client, LocalStorageProvider
     from boundless_tpu.zkvm import guests
     from boundless_tpu.zkvm.executor import Executor
@@ -77,11 +78,12 @@ def main():
         prover = DevProver()
 
     chain = MarketChain(verifier)
-    chain.create_account("alice", b"alice-key", funds=10**9)
-    chain.create_account("prover-node", b"prover-key", funds=10**7)
+    alice = Wallet.from_seed(b"alice-key")
+    chain.create_account(alice.address, funds=10**9)
+    chain.create_account("prover-node", funds=10**7)
     chain.deposit_collateral("prover-node", 10**6)
     provider = LocalStorageProvider(SharedFs())
-    client = Client(chain, "alice", b"alice-key", storage_provider=provider)
+    client = Client(chain, alice, storage_provider=provider)
     broker = Broker(chain, prover, "prover-node",
                     BrokerConfig(min_mcycle_price=0), storage=provider)
     broker.start()

@@ -8,6 +8,9 @@ from boundless_tpu.market.batcher import (Assessor, Batch, BatchProcessor,
                                           fill_leaf, merkle_path,
                                           merkle_root, merkle_verify,
                                           submit_root_and_fulfill)
+from boundless_tpu.market.crypto import Wallet
+
+ALICE = Wallet.from_seed(b"alice")
 from boundless_tpu.market.chain import MarketChain, MarketError
 from boundless_tpu.market.types import (Fulfillment, Offer, Predicate,
                                         ProofRequest, RequestId,
@@ -19,7 +22,7 @@ def _req(i, journal):
                   ramp_up_period=1, lock_timeout=100, timeout=100,
                   lock_collateral=0)
     return ProofRequest(
-        id=RequestId("alice", i),
+        id=RequestId(ALICE.address, i),
         requirements=Requirements(
             image_id="img", predicate=Predicate.digest_match(journal)),
         image_url="local://x", input_data=b"", offer=offer)
@@ -42,8 +45,8 @@ def test_merkle_tree_roundtrip():
 
 def test_batch_lifecycle_and_submit():
     chain = MarketChain(lambda f, r: False)  # per-fill verifier would fail
-    chain.create_account("alice", b"a", funds=1000)
-    chain.create_account("prover1", b"p", funds=0)
+    chain.create_account(ALICE.address, funds=1000)
+    chain.create_account("prover1", funds=0)
     assessor = Assessor()
     bp = BatchProcessor(assessor, "prover1", max_batch=3)
     batch = Batch()
@@ -51,32 +54,32 @@ def test_batch_lifecycle_and_submit():
     for i in range(3):
         journal = b"journal-%d" % i
         req = _req(i, journal)
-        chain.submit_request(req, sign_request(req, b"a"))
+        chain.submit_request(req, sign_request(req, ALICE))
         fill = _fill(req, journal)
-        fills_meta.append((req, b"", fill))
-        batch = bp.update_batch(batch, (req, b"", fill))
+        fills_meta.append((req, sign_request(req, ALICE), fill))
+        batch = bp.update_batch(batch, (req, sign_request(req, ALICE), fill))
     assert batch.closed and batch.root is not None
     assert bp.estimate_batch_size(10) == 3
 
     root, receipt, entries = bp.submission(batch)
     submit_root_and_fulfill(chain, assessor, root, receipt, entries)
     for i in range(3):
-        assert chain.request_status(RequestId("alice", i).encoded()) == \
+        assert chain.request_status(RequestId(ALICE.address, i).encoded()) == \
             "fulfilled"
     assert chain.balances["prover1"] == 30
 
 
 def test_batch_rejects_bad_inclusion():
     chain = MarketChain(lambda f, r: False)
-    chain.create_account("alice", b"a", funds=1000)
+    chain.create_account(ALICE.address, funds=1000)
     assessor = Assessor()
     bp = BatchProcessor(assessor, "prover1", max_batch=2)
     batch = Batch()
     for i in range(2):
         journal = b"j%d" % i
         req = _req(i, journal)
-        chain.submit_request(req, sign_request(req, b"a"))
-        batch = bp.update_batch(batch, (req, b"", _fill(req, journal)))
+        chain.submit_request(req, sign_request(req, ALICE))
+        batch = bp.update_batch(batch, (req, sign_request(req, ALICE), _fill(req, journal)))
     root, receipt, entries = bp.submission(batch)
     # corrupt one path
     fill, idx, path = entries[0]
@@ -90,4 +93,4 @@ def test_assessor_rejects_predicate_violation():
     req = _req(0, b"expected")
     bad_fill = _fill(req, b"different-journal")
     with pytest.raises(MarketError):
-        assessor.assess([(req, b"", bad_fill)], "prover1")
+        assessor.assess([(req, sign_request(req, ALICE), bad_fill)], "prover1")

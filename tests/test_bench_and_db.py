@@ -8,6 +8,10 @@ from boundless_tpu.market.bench import MarketBench
 from boundless_tpu.market.broker.db import OrderDb
 from boundless_tpu.market.broker.pipeline import (Broker, BrokerConfig,
                                                   Order, OrderStatus)
+from boundless_tpu.market.crypto import Wallet
+
+ALICE = Wallet.from_seed(b"alice")
+VIP = Wallet.from_seed(b"vip")
 from boundless_tpu.market.chain import MarketChain
 from boundless_tpu.market.client import Client, LocalStorageProvider
 from boundless_tpu.market import deployments
@@ -28,11 +32,11 @@ class QuickProver:
 
 def test_market_bench_latency_rows():
     chain = MarketChain(lambda f, r: f.seal.get("dev_mode"))
-    chain.create_account("alice", b"a", funds=10**9)
-    chain.create_account("p1", b"p", funds=10**7)
+    chain.create_account(ALICE.address, funds=10**9)
+    chain.create_account("p1", funds=10**7)
     chain.deposit_collateral("p1", 10**6)
     provider = LocalStorageProvider(SharedFs())
-    client = Client(chain, "alice", b"a", storage_provider=provider)
+    client = Client(chain, ALICE, storage_provider=provider)
     broker = Broker(chain, QuickProver(), "p1",
                     BrokerConfig(min_mcycle_price=0), storage=provider)
     broker.start()
@@ -87,11 +91,11 @@ def test_broker_resume_from_order_db():
     import time as _t
 
     chain = MarketChain(lambda f, r: f.seal.get("dev_mode"))
-    chain.create_account("alice", b"a", funds=10**9)
-    chain.create_account("p1", b"p", funds=10**7)
+    chain.create_account(ALICE.address, funds=10**9)
+    chain.create_account("p1", funds=10**7)
     chain.deposit_collateral("p1", 10**6)
     provider = LocalStorageProvider(SharedFs())
-    client = Client(chain, "alice", b"a", storage_provider=provider)
+    client = Client(chain, ALICE, storage_provider=provider)
     db = OrderDb()
 
     # "first run": ingest + commit an order, then crash before proving
@@ -118,14 +122,14 @@ def test_broker_resume_from_order_db():
 
 def test_priority_requestor_skips_price_gate():
     chain = MarketChain(lambda f, r: f.seal.get("dev_mode"))
-    chain.create_account("vip", b"v", funds=10**9)
-    chain.create_account("p1", b"p", funds=10**7)
+    chain.create_account(VIP.address, funds=10**9)
+    chain.create_account("p1", funds=10**7)
     chain.deposit_collateral("p1", 10**6)
     provider = LocalStorageProvider(SharedFs())
-    client = Client(chain, "vip", b"v", storage_provider=provider)
+    client = Client(chain, VIP, storage_provider=provider)
     broker = Broker(chain, QuickProver(), "p1",
                     BrokerConfig(min_mcycle_price=10**12,
-                                 priority_requestors=("vip",)),
+                                 priority_requestors=(VIP.address,)),
                     storage=provider)
     broker.start()
     try:

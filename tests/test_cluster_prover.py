@@ -11,6 +11,9 @@ from boundless_tpu.market.broker.cluster_prover import (ClusterProver,
                                                         session_seal_verifier)
 from boundless_tpu.market.broker.pipeline import Broker, BrokerConfig, \
     OrderStatus
+from boundless_tpu.market.crypto import Wallet
+
+ALICE = Wallet.from_seed(b"alice")
 from boundless_tpu.market.chain import MarketChain
 from boundless_tpu.market.client import Client, LocalStorageProvider
 from boundless_tpu.zkvm import guests, prove
@@ -35,11 +38,11 @@ def test_broker_with_cluster_prover_real_seal():
     cp = ClusterProver(ClusterApi(ctx), timeout=900)
 
     chain = MarketChain(session_seal_verifier(ps=prove.TEST_PS))
-    chain.create_account("alice", b"a", funds=10**9)
-    chain.create_account("prover1", b"p", funds=10**7)
+    chain.create_account(ALICE.address, funds=10**9)
+    chain.create_account("prover1", funds=10**7)
     chain.deposit_collateral("prover1", 10**6)
     provider = LocalStorageProvider(SharedFs())
-    client = Client(chain, "alice", b"a", storage_provider=provider)
+    client = Client(chain, ALICE, storage_provider=provider)
     broker = Broker(chain, cp, "prover1", BrokerConfig(min_mcycle_price=0),
                     storage=provider)
     broker.start()

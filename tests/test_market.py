@@ -13,8 +13,11 @@ from boundless_tpu.market.client import Client, LocalStorageProvider
 from boundless_tpu.market.order_stream import OrderStream
 from boundless_tpu.market.broker.pipeline import (Broker, BrokerConfig,
                                                   OrderStatus)
+from boundless_tpu.market.crypto import Wallet
 from boundless_tpu.market.types import (Offer, Predicate, ProofRequest,
                                         RequestId, Requirements, sign_request)
+
+ALICE = Wallet.from_seed(b"alice")
 from boundless_tpu.zkvm import guests
 from boundless_tpu.zkvm.executor import Executor
 
@@ -43,13 +46,12 @@ def mock_verifier(fill, request):
 def world():
     clock = time.time
     chain = MarketChain(mock_verifier, clock=clock)
-    chain.create_account("alice", b"alice-secret", funds=10_000_000)
-    chain.create_account("prover1", b"prover1-secret", funds=1_000_000)
+    chain.create_account(ALICE.address, funds=10_000_000)
+    chain.create_account("prover1", funds=1_000_000)
     chain.deposit_collateral("prover1", 500_000)
     store = SharedFs()
     provider = LocalStorageProvider(store)
-    client = Client(chain, "alice", b"alice-secret",
-                    storage_provider=provider)
+    client = Client(chain, ALICE, storage_provider=provider)
     return chain, client, provider
 
 
@@ -64,11 +66,11 @@ def test_request_build_and_submit(world):
     assert chain.request_status(rid) == "open"
     # duplicate id rejected
     with pytest.raises(MarketError):
-        chain.submit_request(req, sign_request(req, b"alice-secret"))
+        chain.submit_request(req, sign_request(req, ALICE))
     # bad signature rejected
     req2 = client.build_request(guests.echo(), guests.words([0]))
     with pytest.raises(MarketError):
-        chain.submit_request(req2, b"\0" * 32)
+        chain.submit_request(req2, b"\0" * 65)
 
 
 def test_offer_auction_pricing():
@@ -127,17 +129,17 @@ def test_broker_skips_underpriced(world):
 def test_slash_expired_lock():
     t = [1000.0]
     chain = MarketChain(mock_verifier, clock=lambda: t[0])
-    chain.create_account("alice", b"sk", funds=1000)
-    chain.create_account("prover1", b"pk", funds=1000)
+    chain.create_account(ALICE.address, funds=1000)
+    chain.create_account("prover1", funds=1000)
     chain.deposit_collateral("prover1", 100)
     offer = Offer(min_price=10, max_price=20, bidding_start=1000.0,
                   ramp_up_period=1.0, lock_timeout=5.0, timeout=10.0,
                   lock_collateral=50)
     req = ProofRequest(
-        id=RequestId("alice", 1),
+        id=RequestId(ALICE.address, 1),
         requirements=Requirements(image_id="ab", predicate=Predicate.prefix_match(b"")),
         image_url="local://elfs/x", input_data=b"", offer=offer)
-    chain.submit_request(req, sign_request(req, b"sk"))
+    chain.submit_request(req, sign_request(req, ALICE))
     chain.lock_request(req.id.encoded(), "prover1")
     assert chain.collateral["prover1"] == 50
     # not yet expired
@@ -154,7 +156,7 @@ def test_slash_expired_lock():
 
 def test_order_stream_offchain(world):
     chain, client, provider = world
-    stream = OrderStream(chain.account_keys)
+    stream = OrderStream()
     client.order_stream = stream
     got = []
     stream.subscribe(lambda req, sig: got.append(req))
@@ -163,7 +165,7 @@ def test_order_stream_offchain(world):
     assert got and got[0].id.encoded() == req.id.encoded()
     # unauthenticated submit rejected
     with pytest.raises(PermissionError):
-        stream.submit(req, b"bad")
+        stream.submit(req, b"b" * 65)
 
 
 def test_order_stream_http_roundtrip(world):
@@ -175,7 +177,7 @@ def test_order_stream_http_roundtrip(world):
     from boundless_tpu.market.types import sign_request
 
     chain, client, provider = world
-    stream = OrderStream(chain.account_keys)
+    stream = OrderStream()
     server, thread = make_order_stream_server(stream)
     thread.start()
     try:
@@ -184,13 +186,13 @@ def test_order_stream_http_roundtrip(world):
         req = client.build_request(guests.echo(), guests.words([1, 5]))
         # codec roundtrip fidelity
         assert request_from_json(request_to_json(req)) == req
-        osc.submit(req, sign_request(req, b"alice-secret"))
+        osc.submit(req, sign_request(req, ALICE))
         orders = osc.orders_since(0)
         assert len(orders) == 1 and orders[0][0].id == req.id
         osc.heartbeat("prover-x")
         assert "prover-x" in stream.heartbeats
         # bad signature -> 403
         with pytest.raises(urllib.error.HTTPError):
-            osc.submit(req, b"\x00" * 32)
+            osc.submit(req, b"\x00" * 65)
     finally:
         server.shutdown()

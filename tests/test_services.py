@@ -3,6 +3,9 @@
 import time
 
 from boundless_tpu.cluster.metrics import Registry
+from boundless_tpu.market.crypto import Wallet
+
+ALICE = Wallet.from_seed(b"alice")
 from boundless_tpu.market.chain import MarketChain
 from boundless_tpu.market.services import (Distributor, Indexer,
                                            RequestorList, Slasher)
@@ -13,8 +16,8 @@ from boundless_tpu.market.types import (Offer, Predicate, ProofRequest,
 
 def _mk_chain(clock):
     chain = MarketChain(lambda fill, req: True, clock=clock)
-    chain.create_account("alice", b"a", funds=1000)
-    chain.create_account("prover1", b"p", funds=1000)
+    chain.create_account(ALICE.address, funds=1000)
+    chain.create_account("prover1", funds=1000)
     chain.deposit_collateral("prover1", 200)
     return chain
 
@@ -24,7 +27,7 @@ def _mk_request(i=1, start=1000.0):
                   ramp_up_period=1.0, lock_timeout=5.0, timeout=10.0,
                   lock_collateral=50)
     return ProofRequest(
-        id=RequestId("alice", i),
+        id=RequestId(ALICE.address, i),
         requirements=Requirements(image_id="ab",
                                   predicate=Predicate.prefix_match(b"")),
         image_url="local://elfs/x", input_data=b"", offer=offer)
@@ -34,7 +37,7 @@ def test_slasher_slashes_expired():
     t = [1000.0]
     chain = _mk_chain(lambda: t[0])
     req = _mk_request()
-    chain.submit_request(req, sign_request(req, b"a"))
+    chain.submit_request(req, sign_request(req, ALICE))
     chain.lock_request(req.id.encoded(), "prover1")
     s = Slasher(chain, "watcher", poll=0.01)
     s.start()
@@ -55,8 +58,8 @@ def test_indexer_aggregates():
     chain = _mk_chain(lambda: t[0])
     for i in range(3):
         req = _mk_request(i)
-        chain.submit_request(req, sign_request(req, b"a"))
-    req0 = chain.requests[RequestId("alice", 0).encoded()]
+        chain.submit_request(req, sign_request(req, ALICE))
+    req0 = chain.requests[RequestId(ALICE.address, 0).encoded()]
     chain.lock_request(req0.id.encoded(), "prover1")
     chain.fulfill([Fulfillment(request_id=req0.id, journal=b"x",
                                claim_digest=b"c" * 32, seal=None,
@@ -66,19 +69,19 @@ def test_indexer_aggregates():
     assert agg.total_requests == 3
     assert agg.total_fulfilled == 1
     assert agg.per_prover_fulfilled == {"prover1": 1}
-    assert agg.per_requestor_requests == {"alice": 3}
+    assert agg.per_requestor_requests == {ALICE.address: 3}
     assert agg.total_volume > 0
     # incremental sync picks up only new events
     req = _mk_request(7)
-    chain.submit_request(req, sign_request(req, b"a"))
+    chain.submit_request(req, sign_request(req, ALICE))
     agg2 = idx.sync()
     assert agg2.total_requests == 4
 
 
 def test_distributor_topup():
     chain = _mk_chain(time.time)
-    chain.create_account("treasury", b"t", funds=10_000)
-    chain.create_account("op1", b"o", funds=5)
+    chain.create_account("treasury", funds=10_000)
+    chain.create_account("op1", funds=5)
     d = Distributor(chain, "treasury", ["op1", "prover1"], min_balance=100,
                     top_up=500)
     moved = d.run_once()

@@ -8,6 +8,9 @@ import time
 from boundless_tpu.cluster.storage import SharedFs
 from boundless_tpu.market.broker.pipeline import (Broker, BrokerConfig,
                                                   OrderStatus)
+from boundless_tpu.market.crypto import Wallet
+
+ALICE = Wallet.from_seed(b"alice")
 from boundless_tpu.market.chain import MarketChain
 from boundless_tpu.market.client import Client, LocalStorageProvider
 from boundless_tpu.market.services import Slasher
@@ -41,12 +44,12 @@ def test_many_orders_with_faults_and_slasher():
             fill.seal["journal"] == fill.journal
 
     chain = MarketChain(verifier)
-    chain.create_account("alice", b"a", funds=10**9)
-    chain.create_account("prover1", b"p", funds=10**7)
+    chain.create_account(ALICE.address, funds=10**9)
+    chain.create_account("prover1", funds=10**7)
     chain.deposit_collateral("prover1", 10**6)
     store = SharedFs()
     provider = LocalStorageProvider(store)
-    client = Client(chain, "alice", b"a", storage_provider=provider)
+    client = Client(chain, ALICE, storage_provider=provider)
     broker = Broker(chain, FlakyProver(fail_every=5), "prover1",
                     BrokerConfig(min_mcycle_price=0,
                                  max_concurrent_preflights=4,
@@ -83,7 +86,7 @@ def test_many_orders_with_faults_and_slasher():
                 assert chain.request_status(r) == "fulfilled"
         # money conservation: alice's spend equals the sum of fulfill
         # events' prices (lock-time auction price)
-        paid = 10**9 - chain.balances["alice"]
+        paid = 10**9 - chain.balances[ALICE.address]
         event_total = sum(ev.data["price"] for ev in chain.events
                           if ev.kind == "RequestFulfilled")
         assert paid == event_total
