@@ -226,12 +226,23 @@ class Agent:
             sr = zprove.dev_receipt(image, seg, ps=self.ctx.ps)
         else:
             sr = zprove.prove_segment(image, seg, ps=self.ctx.ps)
+        # RAM-continuity claim slots: program identity + post-memory root
+        # (prove.py _segment_image; reference prove.rs:68-95 lift claims)
+        program_id = zprove.image_id_of(image, seg.po2, self.ctx.ps)
+        if seg.post_mem is None or seg.post_mem == seg.pre_mem:
+            post_root = sr.image_id
+        else:
+            post_root = zprove.mem_root(image, seg.post_mem, seg.po2,
+                                        self.ctx.ps)
         if self.ctx.succinct is not None:
             pre_chains = _decode_chains(d["pre_chains"])
-            lifted = self.ctx.succinct.lift(sr, pre_chains)
+            lifted = self.ctx.succinct.lift(sr, pre_chains, program_id,
+                                            post_root)
             claim_hex = claims.digest_bytes(lifted.claim.digest()).hex()
         else:
-            lifted = rec.lift(sr, ps=self.ctx.ps)
+            lifted = rec.lift(sr, ps=self.ctx.ps,
+                              program_image_id=program_id,
+                              post_mem_root=post_root)
             claim_hex = lifted.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, d["out"]), lifted)
         return dict(claim=claim_hex), [hs.segment_key(job, d["segment"])]

@@ -209,9 +209,14 @@ class Claim:
             self, post_assumptions=tuple(int(x) for x in prev_chain))
 
     def is_genesis(self, entry_pc: int) -> bool:
+        """Genesis additionally requires pre_mem_root == image_id: segment
+        0's memory table IS the program image, so the whole RAM-continuity
+        chain is anchored to the program identity (risc0's MemoryImage
+        root = image id model; reference prove.rs:68-95)."""
         return (self.pre_pc == int(entry_pc) and not any(self.pre_regs)
                 and not any(self.pre_seqs) and not any(self.pre_journal)
-                and not any(self.pre_input) and not any(self.pre_assumptions))
+                and not any(self.pre_input) and not any(self.pre_assumptions)
+                and tuple(self.pre_mem_root) == tuple(self.image_id))
 
 
 def digest_bytes(digest8: Sequence[int]) -> bytes:

@@ -39,7 +39,7 @@ class RecursionError(Exception):
 class SpanClaim:
     """Claim for a contiguous span of execution (1..k segments)."""
 
-    image_id: tuple  # 8 canonical u32 words
+    image_id: tuple  # 8 canonical u32 words (the PROGRAM identity)
     pre_pc: int
     post_pc: int
     pre_regs: tuple  # 64 limbs
@@ -48,20 +48,30 @@ class SpanClaim:
     post_seqs: tuple
     halted: int
     io: tuple  # ((tag, seq, lo, hi), ...) across the span
+    # RAM continuity: control roots of the span's first/last memory
+    # tables (prove.py _segment_image); genesis requires pre == image_id
+    pre_mem_root: tuple = ()
+    post_mem_root: tuple = ()
 
     @staticmethod
-    def of_segment(r: SegmentReceipt) -> "SpanClaim":
+    def of_segment(r: SegmentReceipt, program_image_id=None,
+                   post_mem_root=None) -> "SpanClaim":
         p = r.pub
         io = tuple(tuple(int(x) for x in row[:4])
                    for row in p["io"] if int(row[4]))
+        own = tuple(int(x) for x in r.image_id)
         return SpanClaim(
-            image_id=tuple(int(x) for x in r.image_id),
+            image_id=(own if program_image_id is None
+                      else tuple(int(x) for x in program_image_id)),
             pre_pc=int(p["pre_pc"]), post_pc=int(p["post_pc"]),
             pre_regs=tuple(int(x) for x in p["pre_regs"]),
             post_regs=tuple(int(x) for x in p["post_regs"]),
             pre_seqs=tuple(int(x) for x in p["pre_seqs"]),
             post_seqs=tuple(int(x) for x in p["post_seqs"]),
-            halted=int(p["halted"]), io=io)
+            halted=int(p["halted"]), io=io,
+            pre_mem_root=own,
+            post_mem_root=(own if post_mem_root is None
+                           else tuple(int(x) for x in post_mem_root)))
 
     def digest(self) -> bytes:
         blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -109,14 +119,21 @@ class SuccinctReceipt:
         return self.claim.digest()
 
 
-def lift(seg_receipt: SegmentReceipt,
-         ps: stark.ProofSystem = None) -> SuccinctReceipt:
-    """Segment STARK -> recursion-layer receipt (reference prove.rs:95)."""
+def lift(seg_receipt: SegmentReceipt, ps: stark.ProofSystem = None,
+         program_image_id=None, post_mem_root=None) -> SuccinctReceipt:
+    """Segment STARK -> recursion-layer receipt (reference prove.rs:95).
+
+    `program_image_id` / `post_mem_root`: RAM-continuity claim slots
+    (see SuccinctSystem.lift); defaults are exact for segment 0 /
+    write-free segments."""
     kwargs = {} if ps is None else {"ps": ps}
     if not verify_segment(seg_receipt, **kwargs):
         raise RecursionError("segment receipt failed verification at lift")
-    return SuccinctReceipt(kind="lift", claim=SpanClaim.of_segment(seg_receipt),
-                           segments=[seg_receipt])
+    return SuccinctReceipt(
+        kind="lift",
+        claim=SpanClaim.of_segment(seg_receipt, program_image_id,
+                                   post_mem_root),
+        segments=[seg_receipt])
 
 
 def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
@@ -129,11 +146,14 @@ def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
     if (a.post_pc, a.post_regs, a.post_seqs) != (b.pre_pc, b.pre_regs,
                                                  b.pre_seqs):
         raise RecursionError("join: state discontinuity")
+    if a.post_mem_root != b.pre_mem_root:
+        raise RecursionError("join: memory root discontinuity")
     claim = SpanClaim(
         image_id=a.image_id, pre_pc=a.pre_pc, post_pc=b.post_pc,
         pre_regs=a.pre_regs, post_regs=b.post_regs,
         pre_seqs=a.pre_seqs, post_seqs=b.post_seqs,
-        halted=b.halted, io=a.io + b.io)
+        halted=b.halted, io=a.io + b.io,
+        pre_mem_root=a.pre_mem_root, post_mem_root=b.post_mem_root)
     return SuccinctReceipt(kind="join", claim=claim,
                            segments=left.segments + right.segments)
 
@@ -193,19 +213,35 @@ def verify_succinct(receipt: SuccinctReceipt, ps: stark.ProofSystem = None,
         if not verify_segment(s, **kwargs):
             return False
     if receipt.kind != "union":
-        cur = SpanClaim.of_segment(segs[0])
-        for s in segs[1:]:
-            nxt = SpanClaim.of_segment(s)
+        # RAM continuity replay: segment k's post-memory root is the
+        # (proof-derived) table root of segment k+1; only the span-final
+        # post root is the claim's host-supplied value (in-circuit
+        # post-root derivation is the documented gap, docs/PROTOCOL.md)
+        prog_id = receipt.claim.image_id
+
+        def span_of(k):
+            post = (tuple(int(x) for x in segs[k + 1].image_id)
+                    if k + 1 < len(segs) else receipt.claim.post_mem_root)
+            return SpanClaim.of_segment(segs[k], program_image_id=prog_id,
+                                        post_mem_root=post)
+
+        cur = span_of(0)
+        for k in range(1, len(segs)):
+            nxt = span_of(k)
             if cur.halted or cur.image_id != nxt.image_id:
                 return False
             if (cur.post_pc, cur.post_regs, cur.post_seqs) != (
                     nxt.pre_pc, nxt.pre_regs, nxt.pre_seqs):
                 return False
+            if cur.post_mem_root != nxt.pre_mem_root:
+                return False
             cur = SpanClaim(image_id=cur.image_id, pre_pc=cur.pre_pc,
                             post_pc=nxt.post_pc, pre_regs=cur.pre_regs,
                             post_regs=nxt.post_regs, pre_seqs=cur.pre_seqs,
                             post_seqs=nxt.post_seqs, halted=nxt.halted,
-                            io=cur.io + nxt.io)
+                            io=cur.io + nxt.io,
+                            pre_mem_root=cur.pre_mem_root,
+                            post_mem_root=nxt.post_mem_root)
         if dataclasses.asdict(cur) != dataclasses.asdict(receipt.claim):
             return False
     if receipt.resolved_with is not None:
@@ -239,6 +275,9 @@ class SessionReceipt:
             raise RecursionError("finalize: session did not halt")
         if c.pre_pc != entry_pc or any(c.pre_regs) or any(c.pre_seqs):
             raise RecursionError("finalize: span does not start at genesis")
+        if tuple(c.pre_mem_root) != tuple(c.image_id):
+            raise RecursionError(
+                "finalize: genesis memory table is not the program image")
         journal = b"".join(w.to_bytes(4, "little")
                            for w in c.journal_words())
         return SessionReceipt(root=root, journal=journal,
@@ -248,5 +287,7 @@ class SessionReceipt:
                expected_image_id=None) -> bool:
         c = self.root.claim
         if not c.halted or c.pre_pc != self.entry_pc or any(c.pre_regs):
+            return False
+        if tuple(c.pre_mem_root) != tuple(c.image_id):
             return False
         return verify_succinct(self.root, ps, expected_image_id)

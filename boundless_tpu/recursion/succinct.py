@@ -142,7 +142,8 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
 
     Witness order (must mirror lift_witness): the serialized segment
     proof (programs.serialize_proof), then 6 pre-chain wires (tags
-    4, 5, 6; 2 packed wires each).
+    4, 5, 6; 2 packed wires each), then the program image id (2 packed
+    wires) and the post-memory root (2 packed wires).
 
     Public values: groups 0-1 = claim digest; 2-3 = allowed-set root
     (unread here — rides through for uniformity); 4-5 pinned zero.
@@ -156,6 +157,17 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
 
     # --- per-tag chains: fold the public io table in-circuit ---
     pre_chain = {t: (p.input(), p.input()) for t in claims.CHAIN_TAGS}
+    # RAM continuity (claim v2 mem slots): pre_mem_root is the VERIFIED
+    # control root of this segment's own memory table (prove.py
+    # _segment_image); the program image id and the post-memory root are
+    # witness inputs. Soundness: join chains post==pre roots in-circuit,
+    # and genesis (finalize) requires image_id == pre_mem_root, so a span
+    # only finalizes if its first table IS the program image. The
+    # remaining gap — in-circuit derivation of post_mem_root from the
+    # segment's memory log (LogUp paging port, zkvm/paging.py) — is
+    # tracked in docs/PROTOCOL.md.
+    img_w = (p.input(), p.input())
+    post_mem_w = (p.input(), p.input())
     chain = {t: pre_chain[t] for t in claims.CHAIN_TAGS}
     exp_seq = {t: pub.pre_seqs[i]
                for i, t in enumerate(claims.CHAIN_TAGS)}
@@ -191,7 +203,7 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
         p.assert_eq(exp_seq[t], pub.post_seqs[i])
 
     # --- assemble the claim wire vector ---
-    cw: List[int] = [res.ctrl_root[0], res.ctrl_root[1]]
+    cw: List[int] = [img_w[0], img_w[1]]
     cw.append(_pack4(p, [pub.pre_pc, pub.post_pc, pub.halted]))
     for i in range(16):
         cw.append(_pack4(p, pub.pre_regs[4 * i : 4 * i + 4]))
@@ -201,9 +213,8 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
     cw.append(_pack4(p, pub.post_seqs))
     for t in claims.CHAIN_TAGS:
         cw += [pre_chain[t][0], pre_chain[t][1], chain[t][0], chain[t][1]]
-    # mem roots: pinned zero until segment publics expose touched pages
-    # (docs/PROTOCOL.md v2 gap)
-    cw += [zero, zero, zero, zero]
+    # mem roots: pre = the verified per-segment control root; post = witness
+    cw += [res.ctrl_root[0], res.ctrl_root[1], post_mem_w[0], post_mem_w[1]]
     assert len(cw) == claims.CLAIM_WIRES
 
     d0, d1 = p.hash_packed(cw, claims.CLAIM_ELEMS)
@@ -216,7 +227,8 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
 
 def lift_witness(seg_pub: dict, proof, seg_po2: int,
                  seg_ps: stark.ProofSystem,
-                 pre_chains: Optional[dict] = None) -> List[tuple]:
+                 pre_chains: Optional[dict] = None,
+                 program_image_id=None, post_mem_root=None) -> List[tuple]:
     """Witness stream for the lift program."""
     if pre_chains is None:
         pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
@@ -224,6 +236,8 @@ def lift_witness(seg_pub: dict, proof, seg_po2: int,
                                    seg_po2, seg_ps)
     for t in claims.CHAIN_TAGS:
         out += programs._pack4([int(x) for x in pre_chains[t]])
+    out += programs._pack4([int(x) for x in program_image_id])
+    out += programs._pack4([int(x) for x in post_mem_root])
     return out
 
 
@@ -455,16 +469,29 @@ class SuccinctSystem:
         return RecReceipt(kind=kind, proof=proof, claim=claim,
                           pub_vals=pub_vals, po2=self.params.rec_po2)
 
-    def lift(self, seg_receipt, pre_chains: Optional[dict] = None
-             ) -> RecReceipt:
-        """Segment receipt -> recursion receipt (reference prove.rs:95)."""
+    def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
+             program_image_id=None, post_mem_root=None) -> RecReceipt:
+        """Segment receipt -> recursion receipt (reference prove.rs:95).
+
+        RAM continuity: `seg_receipt.image_id` is the control root of the
+        segment's own memory table and becomes claim.pre_mem_root (bound
+        in-circuit). `program_image_id` is the session's program identity
+        (defaults to the segment's root — exact for segment 0 / single-
+        table guests); `post_mem_root` is the post-memory table's root
+        (defaults to the pre root — exact for write-free segments).
+        """
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
-        claim = claims.Claim.of_segment(seg_receipt.image_id,
-                                        seg_receipt.pub, pre_chains)
+        if program_image_id is None:
+            program_image_id = seg_receipt.image_id
+        if post_mem_root is None:
+            post_mem_root = seg_receipt.image_id
+        claim = claims.Claim.of_segment(
+            program_image_id, seg_receipt.pub, pre_chains,
+            pre_mem_root=seg_receipt.image_id, post_mem_root=post_mem_root)
         wit = lift_witness(seg_receipt.pub, seg_receipt.proof,
                            self.params.seg_po2, self.params.seg_ps,
-                           pre_chains)
+                           pre_chains, program_image_id, post_mem_root)
         return self._prove("lift", wit, claim)
 
     def _kind_index(self, kind: str) -> int:
@@ -537,12 +564,17 @@ class DevModeSystem:
         return RecReceipt(kind=kind, proof=None, claim=claim,
                           pub_vals=self._pub_vals(claim), po2=0)
 
-    def lift(self, seg_receipt, pre_chains: Optional[dict] = None
-             ) -> RecReceipt:
+    def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
+             program_image_id=None, post_mem_root=None) -> RecReceipt:
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
-        claim = claims.Claim.of_segment(seg_receipt.image_id,
-                                        seg_receipt.pub, pre_chains)
+        if program_image_id is None:
+            program_image_id = seg_receipt.image_id
+        if post_mem_root is None:
+            post_mem_root = seg_receipt.image_id
+        claim = claims.Claim.of_segment(
+            program_image_id, seg_receipt.pub, pre_chains,
+            pre_mem_root=seg_receipt.image_id, post_mem_root=post_mem_root)
         return self._receipt("lift", claim)
 
     def join(self, left: RecReceipt, right: RecReceipt) -> RecReceipt:

@@ -76,6 +76,30 @@ def image_id_of(image: MemoryImage, po2: int,
     return _image_ctrl(image, po2, ps)[1]
 
 
+def _segment_image(image: MemoryImage, seg: Segment) -> MemoryImage:
+    """The memory table a segment is proven against: its own pre-memory.
+
+    Cross-segment RAM continuity (reference continuations: risc0 claims
+    chain MemoryImage Merkle roots, consumed at `prover/crates/workflow/
+    src/tasks/prove.rs:68-95`): segment k's image table IS the full word
+    store at its entry, so heap written in earlier segments is readable
+    (the AIR's first-access-must-match-image rule now refers to the
+    segment's own table). The resulting per-segment control root becomes
+    the claim's pre_mem_root; segment 0's table is the program image, so
+    genesis ties the memory chain to the program identity.
+    """
+    if seg.index == 0 or seg.pre_mem == image.words:
+        return image
+    return MemoryImage(words=dict(seg.pre_mem), entry=image.entry)
+
+
+def mem_root(image: MemoryImage, words: dict, po2: int,
+             ps: stark.ProofSystem = DEFAULT_PS) -> np.ndarray:
+    """Control root of an arbitrary memory table (pre/post mem roots)."""
+    return image_id_of(MemoryImage(words=dict(words), entry=image.entry),
+                       po2, ps)
+
+
 def _gen_witness(image, seg):
     """Prefer the C++ witness generator; fall back to the Python replay
     only on toolchain/load problems (guest faults propagate)."""
@@ -91,10 +115,16 @@ def _gen_witness(image, seg):
 
 def prove_segment(image: MemoryImage, seg: Segment,
                   ps: stark.ProofSystem = DEFAULT_PS) -> SegmentReceipt:
-    """Generate the witness and prove one segment (jitted XLA program)."""
-    w = _gen_witness(image, seg)
+    """Generate the witness and prove one segment (jitted XLA program).
+
+    The receipt's image_id is the control root of this segment's OWN
+    memory table (see _segment_image) — for segment 0 that equals the
+    program image id.
+    """
+    seg_image = _segment_image(image, seg)
+    w = _gen_witness(seg_image, seg)
     data = F.fp(w.data)
-    ctrl, image_id = _image_ctrl(image, seg.po2, ps)
+    ctrl, image_id = _image_ctrl(seg_image, seg.po2, ps)
     pub = witness.to_public_values(w.pub)
     proof = _prover(seg.po2, ps)(data, pub, ctrl)
     return SegmentReceipt(proof=proof, pub=w.pub, image_id=image_id,
@@ -106,8 +136,9 @@ def dev_receipt(image: MemoryImage, seg: Segment,
     """Dev-mode fake receipt (reference `RISC0_DEV_MODE=true`,
     SURVEY.md §4): real witness/public values and image id, no proof.
     Instant, NOT sound — test/development fixture only."""
-    w = _gen_witness(image, seg)
-    _, image_id = _image_ctrl(image, seg.po2, ps)
+    seg_image = _segment_image(image, seg)
+    w = _gen_witness(seg_image, seg)
+    _, image_id = _image_ctrl(seg_image, seg.po2, ps)
     return SegmentReceipt(proof=None, pub=w.pub, image_id=image_id,
                           po2=seg.po2)
 
