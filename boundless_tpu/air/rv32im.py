@@ -67,7 +67,18 @@ class _Alloc:
 
 
 class DataCols:
-    def __init__(self):
+    """Data-group column layout.
+
+    Two variants share one allocation order: the RV32I layout
+    (with_m=False, 384 columns) is a strict PREFIX of the RV32IM layout
+    (576 columns) — witness generation always fills the full layout and
+    truncates for RV32I programs (zkvm/prove.py picks the variant from
+    the image's decoded instructions; proving a non-M program commits
+    192 fewer columns, the dominant prover cost driver).
+    """
+
+    def __init__(self, with_m: bool = True):
+        self.with_m = with_m
         a = _Alloc()
         self.regs = a.get(64)  # reg k limb l at regs.start + 2k + l
         self.pc = a.get()
@@ -107,14 +118,31 @@ class DataCols:
         self.s_val = a.get(2)
         self.s_dbits = a.get(26)
         self.mult_fetch = a.get()
-        self.mult_init = a.get()
-        # --- M extension (unsigned: MUL/MULHU/DIVU/REMU) ---
-        # product machinery: 8x8-bit byte partial products with carry
-        # chain (sums < 2^18 < p, so the integer identity never wraps)
+        self.mult_init = a.get()  # dead (paging publics replaced the
+        #                           image-table init lookup); kept so the
+        #                           layout prefix stays stable
         self.is_m = a.get()  # decoded M-extension flag (fetch-bound)
         self.is_shift_col = a.get()  # == is_alu*(1-is_m)*(f3_1+f3_5)
         self.is_slt_col = a.get()  # == is_alu*(1-is_m)*(f3_2+f3_3)
         self.is_logic_col = a.get()  # == is_alu*(1-is_m)*(f3_4+f3_6+f3_7)
+        # --- RAM paging port (cross-segment continuity; zkvm/paging.py) ---
+        # s_pre_val: the word's value at segment entry, witnessed on
+        # first-access rows (s_new). For first READS it must equal s_val
+        # (constraint); for first writes it is bound to the pre-memory
+        # PageTree root by the lift program's in-circuit page walk.
+        self.s_pre_val = a.get(2)
+        # s_last: committed last-access-of-address flag (emits the final
+        # word value through the `final` LogUp port).
+        self.s_last = a.get()
+        # SB stores witness the high byte of rs2's low limb here
+        self.q8 = a.get(8)
+        if not with_m:
+            self.pad = a.get(384 - a.n)
+            self.total = a.n
+            return
+        # --- M extension ---
+        # product machinery: 8x8-bit byte partial products with carry
+        # chain (sums < 2^18 < p, so the integer identity never wraps)
         self.m_hi_bits = a.get(32)  # product high word bits
         self.m_carry_bits = a.get(77)  # 7 carries x 11 bits
         self.m_rem_bits = a.get(32)  # divu/remu remainder bits
@@ -130,7 +158,7 @@ class DataCols:
         self.m_s_bits = a.get(8)
         self.m_g = a.get()  # committed gate selS * (1 - o)
         self.m_g2 = a.get()  # committed gate selS * (1 - bzero)
-        # pad to 576 (div by 8 for tp sharding; unconstrained zero cols)
+        # pad for tp-sharding divisibility (unconstrained zero cols)
         self.pad = a.get(576 - a.n)
         self.total = a.n
 
@@ -165,9 +193,9 @@ class AccumCols:
     # mem2 = the extra old-word *read* (time 2*clk) that a sub-word store
     #        performs before its write — one instruction, two log rows
     PORTS = ("fetch", "fetch_tbl", "mem", "mem2", "mem_sorted", "init",
-             "init_tbl", "commit", "read", "verify")
+             "final", "commit", "read", "verify")
     SIGNS = {"fetch": +1, "fetch_tbl": -1, "mem": +1, "mem2": +1,
-             "mem_sorted": -1, "init": +1, "init_tbl": -1, "commit": +1,
+             "mem_sorted": -1, "init": +1, "final": +1, "commit": +1,
              "read": +1, "verify": +1}
 
     def __init__(self):
@@ -179,13 +207,27 @@ class AccumCols:
 
 
 DC = DataCols()
+DC_I = DataCols(with_m=False)
 CC = CtrlCols()
 AC = AccumCols()
 
-TAG = {"fetch": 1, "mem": 2, "init": 3, "commit": 4, "read": 5, "verify": 6}
+TAG = {"fetch": 1, "mem": 2, "init": 3, "commit": 4, "read": 5, "verify": 6,
+       "final": 7}
 
 IO_MAX = 64  # public io rows (journal + input + assumption words) per segment
+# Paging port geometry (must match zkvm/paging.py): touched pages per
+# segment, 64 words each. Every touched word's first-access (pre) and
+# final (post) values are PUBLIC, bound to the sorted RAM log by the
+# init/final LogUp ports; the lift program hashes the pages and walks
+# the sparse memory Merkle tree to derive post_mem_root in-circuit.
+# The executor splits a segment when it would touch more pages.
+MEM_PAGES = 8
+PAGE_WORDS = 64
+# per page entry: [page_idx, pmask] + 64 x [wmask, pre_lo, pre_hi,
+#                                           post_lo, post_hi]
+MEM_PAGE_ELEMS = 2 + PAGE_WORDS * 5
 NUM_DPOWS = 28
+P2_P = F.P  # alias (wire-constant arithmetic)
 
 
 @dataclasses.dataclass
@@ -203,12 +245,13 @@ class PublicValues:
     pre_seqs: jnp.ndarray  # (3,)
     post_seqs: jnp.ndarray  # (3,)
     io: jnp.ndarray  # (IO_MAX, 5)
+    mem: jnp.ndarray  # (MEM_PAGES, MEM_PAGE_ELEMS) paging-port pages
 
 
 jax.tree_util.register_dataclass(
     PublicValues,
     data_fields=["pre_pc", "post_pc", "pre_regs", "post_regs", "halted",
-                 "pre_seqs", "post_seqs", "io"],
+                 "pre_seqs", "post_seqs", "io", "mem"],
     meta_fields=[])
 
 
@@ -299,12 +342,11 @@ def _ports(alg, row, gamma, dpows):
     srt_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_clk),
                            d.data(DC.s_val.start), d.data(DC.s_val.start + 1),
                            d.data(DC.s_is_write)])
-    init_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_val.start),
-                            d.data(DC.s_val.start + 1)])
-    inv4 = pow(4, F.P - 2, F.P)
-    init_tbl_comps = alg.stack([m(d.ctrl(CC.t_pc), alg.const(inv4)),
-                                d.ctrl(CC.t_word.start),
-                                d.ctrl(CC.t_word.start + 1)])
+    init_comps = alg.stack([d.data(DC.s_addr),
+                            d.data(DC.s_pre_val.start),
+                            d.data(DC.s_pre_val.start + 1)])
+    final_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_val.start),
+                             d.data(DC.s_val.start + 1)])
     commit_comps = alg.stack([d.data(DC.commit_seq), reg(10, 0), reg(10, 1)])
     read_comps = alg.stack([d.data(DC.read_seq), rdv[0], rdv[1]])
     verify_comps = alg.stack([d.data(DC.verify_seq), reg(10, 0), reg(10, 1)])
@@ -316,7 +358,7 @@ def _ports(alg, row, gamma, dpows):
         "mem2": _pack(alg, gamma, dpows, TAG["mem"], mem2_comps),
         "mem_sorted": _pack(alg, gamma, dpows, TAG["mem"], srt_comps),
         "init": _pack(alg, gamma, dpows, TAG["init"], init_comps),
-        "init_tbl": _pack(alg, gamma, dpows, TAG["init"], init_tbl_comps),
+        "final": _pack(alg, gamma, dpows, TAG["final"], final_comps),
         "commit": _pack(alg, gamma, dpows, TAG["commit"], commit_comps),
         "read": _pack(alg, gamma, dpows, TAG["read"], read_comps),
         "verify": _pack(alg, gamma, dpows, TAG["verify"], verify_comps),
@@ -328,9 +370,8 @@ def _ports(alg, row, gamma, dpows):
         "mem": add(is_load, is_store),
         "mem2": is_subw_store,
         "mem_sorted": d.data(DC.s_active),
-        "init": m(d.data(DC.s_active),
-                  m(d.data(DC.s_new), sub(one, d.data(DC.s_is_write)))),
-        "init_tbl": d.data(DC.mult_init),
+        "init": m(d.data(DC.s_active), d.data(DC.s_new)),
+        "final": d.data(DC.s_last),
         "commit": d.data(DC.k.start + 1),
         "read": d.data(DC.k.start + 2),
         "verify": d.data(DC.k.start + 4),
@@ -339,7 +380,7 @@ def _ports(alg, row, gamma, dpows):
 
 
 def public_logup_sum(pub: PublicValues, gamma, delta):
-    """S_pub = sum over public io rows of mask / (gamma - pack)."""
+    """S_pub: io rows + paging-port words, each mask / (gamma - pack)."""
     dpows = NTT.ext_powers(delta, 4)
     tag, seq, lo, hi, mask = (pub.io[:, i] for i in range(5))
     acc = F.ext_from_base(tag)
@@ -348,13 +389,40 @@ def public_logup_sum(pub: PublicValues, gamma, delta):
             jnp.broadcast_to(dpows[j + 1], acc.shape), x))
     den = F.ext_sub(jnp.broadcast_to(gamma, acc.shape), acc)
     terms = F.ext_scale(F.ext_inv(den), mask)
-    return F.sum_mod(terms, axis=0)
+    total = F.sum_mod(terms, axis=0)
+
+    # paging ports: every wmask'd word slot folds an init (pre value) and
+    # a final (post value) term at addr = page_idx*64 + w. All values are
+    # Montgomery; addr arithmetic via montmul with Montgomery constants.
+    page_idx = pub.mem[:, 0]  # (E,)
+    words = pub.mem[:, 2:].reshape(MEM_PAGES, PAGE_WORDS, 5)
+    wmask = words[..., 0]
+    w_off = F.fp(np.arange(PAGE_WORDS))  # (64,) Montgomery
+    addr = F.add(F.mul(page_idx, jnp.full((), F.mont(PAGE_WORDS),
+                                          jnp.uint32))[:, None],
+                 w_off[None, :])  # (E, 64)
+    for tag_name, lo_i, hi_i in (("init", 1, 2), ("final", 3, 4)):
+        acc = F.ext_from_base(
+            jnp.full(addr.shape, F.mont(TAG[tag_name]), jnp.uint32))
+        acc = F.ext_add(F.ext_scale(
+            jnp.broadcast_to(dpows[1], acc.shape), addr), acc)
+        acc = F.ext_add(F.ext_add(
+            F.ext_scale(jnp.broadcast_to(dpows[2], acc.shape),
+                        words[..., lo_i]),
+            F.ext_scale(jnp.broadcast_to(dpows[3], acc.shape),
+                        words[..., hi_i])), acc)
+        den = F.ext_sub(jnp.broadcast_to(gamma, acc.shape), acc)
+        terms = F.ext_scale(F.ext_inv(den), wmask)
+        total = F.ext_add(total, F.sum_mod(
+            F.sum_mod(terms, axis=1), axis=0))
+    return total
 
 
 def _public_logup_sum_prog(alg, pub, gamma, delta):
     """Wire-algebra S_pub: pub.io is a list of 64 [tag,seq,lo,hi,mask]
-    wire rows (the recursion circuit evaluates the same formula with an
-    INV op per row; pad rows have den = gamma != 0, so inv is safe)."""
+    wire rows, pub.mem a list of MEM_PAGES page-entry wire rows (the
+    recursion circuit evaluates the same formula with an INV op per row;
+    pad rows have den = gamma != 0, so inv is safe)."""
     p = alg.p
     dpows = alg.ext_powers(delta, 4)
     total = None
@@ -366,6 +434,20 @@ def _public_logup_sum_prog(alg, pub, gamma, delta):
         inv_w = p.inv(p.sub(gamma, acc))
         term = p.mul(mask, inv_w)
         total = term if total is None else p.add(total, term)
+    for page in pub.mem:
+        # page: dict with page_idx wire and words[(wmask, pre_lo, pre_hi,
+        # post_lo, post_hi)] wire tuples (succinct._WireRv32Pub)
+        base = p.mul(page["page_idx"], p.const(PAGE_WORDS))
+        for w, slot in enumerate(page["words"]):
+            wmask, pre_lo, pre_hi, post_lo, post_hi = slot
+            addr = p.addc(base, (w % P2_P, 0, 0, 0)) if w else base
+            for tag_name, lo_w, hi_w in (("init", pre_lo, pre_hi),
+                                         ("final", post_lo, post_hi)):
+                acc = p.addc(p.add(p.mul(dpows[1], addr),
+                                   p.add(p.mul(dpows[2], lo_w),
+                                         p.mul(dpows[3], hi_w))),
+                             (TAG[tag_name], 0, 0, 0))
+                total = p.add(total, p.mul(wmask, p.inv(p.sub(gamma, acc))))
     return total
 
 
@@ -423,13 +505,17 @@ class _TraceRows:
 
 
 class Rv32imAir(dsl.Air):
-    name = "rv32im"
     ctrl_cols = CC.total
-    data_cols = DC.total
     accum_cols = AC.total
     globals_count = 2  # gamma, delta
     max_degree = 5
     ctrl_dynamic = True  # ctrl trace (image table) is a prover input
+
+    def __init__(self, with_m: bool = True):
+        self.with_m = with_m
+        self.dc = DC if with_m else DC_I
+        self.name = "rv32im" if with_m else "rv32i"
+        self.data_cols = self.dc.total
 
     def accum_trace(self, ctrl, data, globals_):
         gamma, delta = globals_[0], globals_[1]
@@ -493,6 +579,8 @@ class Rv32imAir(dsl.Air):
         rs1_blk = d.datab(DC.rs1_oh)
         rs2_blk = d.datab(DC.rs2_oh)
 
+        dc = self.dc
+
         # ---- boolean constraints (single grouped VecVal) ----
         bool_cols = (list(range(DC.sel.start, DC.sel.stop))
                      + list(range(DC.f3.start, DC.f3.stop))
@@ -510,14 +598,18 @@ class Rv32imAir(dsl.Air):
                         DC.s_new]
                      + list(range(DC.s_dbits.start, DC.s_dbits.stop))
                      + [DC.is_m, DC.is_shift_col, DC.is_slt_col,
-                        DC.is_logic_col,
-                        DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero]
-                     + list(range(DC.m_hi_bits.start, DC.m_hi_bits.stop))
-                     + list(range(DC.m_carry_bits.start,
-                                  DC.m_carry_bits.stop))
-                     + list(range(DC.m_rem_bits.start, DC.m_rem_bits.stop))
-                     + list(range(DC.m_d_bits.start, DC.m_d_bits.stop))
-                     + list(range(DC.m_s_bits.start, DC.m_s_bits.stop)))
+                        DC.is_logic_col]
+                     + list(range(dc.q8.start, dc.q8.stop))
+                     + (([DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero]
+                         + list(range(DC.m_hi_bits.start,
+                                      DC.m_hi_bits.stop))
+                         + list(range(DC.m_carry_bits.start,
+                                      DC.m_carry_bits.stop))
+                         + list(range(DC.m_rem_bits.start,
+                                      DC.m_rem_bits.stop))
+                         + list(range(DC.m_d_bits.start, DC.m_d_bits.stop))
+                         + list(range(DC.m_s_bits.start, DC.m_s_bits.stop)))
+                        if self.with_m else []))
         bools = d.datab(bool_cols)
         ones_g = alg.gconst(np.ones(len(bool_cols), dtype=np.int64))
         c.append(VecVal(gm(bools, gs(bools, ones_g))))
@@ -593,6 +685,7 @@ class Rv32imAir(dsl.Air):
         is_subm = add(m(alu_nm, add(m(f3[0], alt), add(f3[2], f3[3]))),
                       is_br)
         c16 = alg.const(1 << 16)
+        cFFFF = alg.const(0xFFFF)
         c.append(m(is_addm, sub(add(rs1v[0], op2[0]), add(RL, m(c0b, c16)))))
         c.append(m(is_addm, sub(add(add(rs1v[1], op2[1]), c0b),
                                 add(RH, m(c1b, c16)))))
@@ -703,204 +796,214 @@ class Rv32imAir(dsl.Air):
         c.append(m(is_auipc, sub(rdv[0], AL)))
         c.append(m(is_auipc, sub(rdv[1], AH)))
 
-        # ---- M extension (full: MUL/MULH/MULHSU/MULHU/DIV/DIVU/REM/REMU) ----
-        # 8x8-bit byte products with an 11-bit carry chain: every column
-        # sum < 2^18 < p, so the integer identity cannot wrap mod p.
-        hi_blk = d.datab(DC.m_hi_bits)
-
         def byte_of(blk, j):
             w = np.zeros(32, dtype=np.int64)
             w[8 * j : 8 * j + 8] = [1 << i for i in range(8)]
             return alg.gweighted(blk, w)
 
-        A = [byte_of(a_blk, j) for j in range(4)]
-        Bb = [byte_of(b_blk, j) for j in range(4)]
-        Rb = ([byte_of(r_blk, j) for j in range(4)]
-              + [byte_of(hi_blk, j) for j in range(4)])
-        carry_blk = d.datab(DC.m_carry_bits)
+        if self.with_m:
+            # ---- M extension (full: MUL/MULH/MULHSU/MULHU/DIV/DIVU/REM/REMU) ----
+            # 8x8-bit byte products with an 11-bit carry chain: every column
+            # sum < 2^18 < p, so the integer identity cannot wrap mod p.
+            # The RV32I variant (self.with_m == False) has no M columns: the
+            # whole family is absent and is_m is pinned to zero, so M-bearing
+            # executions are unprovable under it (the prover picks the
+            # variant per program; both lift programs are in the recursion
+            # allowed set).
+            hi_blk = d.datab(DC.m_hi_bits) if self.with_m else None
 
-        def carry_of(k):  # k in 1..7
-            w = np.zeros(77, dtype=np.int64)
-            w[11 * (k - 1) : 11 * k] = [1 << i for i in range(11)]
-            return alg.gweighted(carry_blk, w)
+            A = [byte_of(a_blk, j) for j in range(4)]
+            Bb = [byte_of(b_blk, j) for j in range(4)]
+            Rb = ([byte_of(r_blk, j) for j in range(4)]
+                  + [byte_of(hi_blk, j) for j in range(4)])
+            carry_blk = d.datab(DC.m_carry_bits)
 
-        carries = [alg.zero()] + [carry_of(k) for k in range(1, 8)]
-        c256 = alg.const(256)
-        for k in range(7):
-            ck = dsum([m(A[i], Bb[k - i])
-                       for i in range(max(0, k - 3), min(4, k + 1))])
-            c.append(m(is_m, sub(add(ck, carries[k]),
-                                 add(Rb[k], m(c256, carries[k + 1])))))
-        c.append(m(is_m, sub(carries[7], Rb[7])))
-        # MUL (lo) / MULHU (hi) results
-        HL = alg.gweighted(hi_blk, W_LO)
-        HH = alg.gweighted(hi_blk, W_HI)
-        c.append(m(m(is_m, f3[0]), sub(rdv[0], RL)))
-        c.append(m(m(is_m, f3[0]), sub(rdv[1], RH)))
-        c.append(m(m(is_m, f3[3]), sub(rdv[0], HL)))
-        c.append(m(m(is_m, f3[3]), sub(rdv[1], HH)))
-        # DIVU/REMU: a_bits carry the quotient q; the product machinery
-        # gives q*b in (r_bits, hi_bits); identity q*b + r == a, r < b.
-        rem_blk = d.datab(DC.m_rem_bits)
-        RemL = alg.gweighted(rem_blk, W_LO)
-        RemH = alg.gweighted(rem_blk, W_HI)
-        ca0 = d.data(DC.m_ca0)
-        c.append(m(is_mdiv, sub(add(RL, RemL), add(rs1v[0], m(ca0, c16)))))
-        c.append(m(is_mdiv, sub(add(add(RH, RemH), ca0), rs1v[1])))
-        c.append(m(is_mdiv, HL))
-        c.append(m(is_mdiv, HH))
-        # divisor-zero flag via inverse gadget on (b0 + b1); shared by
-        # the unsigned and signed division families
-        bzero = d.data(DC.m_bzero)
-        binv = d.data(DC.m_binv)
-        sB = add(op2[0], op2[1])
-        c.append(m(is_anydiv, m(bzero, sB)))
-        c.append(m(is_anydiv, sub(add(bzero, m(sB, binv)), one)))
-        # r < b (unless b == 0): r + d + 1 == b with 32-bit d
-        d_blk = d.datab(DC.m_d_bits)
-        DL_ = alg.gweighted(d_blk, W_LO)
-        DH_ = alg.gweighted(d_blk, W_HI)
-        cb = d.data(DC.m_cb)
-        nz = m(is_mdiv, sub(one, bzero))
-        c.append(m(nz, sub(add(add(RemL, DL_), one),
-                           add(op2[0], m(cb, c16)))))
-        c.append(m(nz, sub(add(add(RemH, DH_), cb), op2[1])))
-        # DIVU result: q, or 2^32-1 when b == 0 (RISC-V spec)
-        sel_divu = m(is_m, f3[5])
-        QL = alg.gweighted(a_blk, W_LO)
-        QH = alg.gweighted(a_blk, W_HI)
-        cFFFF = alg.const(0xFFFF)
-        c.append(m(sel_divu, sub(rdv[0], add(m(sub(one, bzero), QL),
-                                             m(bzero, cFFFF)))))
-        c.append(m(sel_divu, sub(rdv[1], add(m(sub(one, bzero), QH),
-                                             m(bzero, cFFFF)))))
-        # REMU result: r (covers b == 0, where the identity forces r == a)
-        sel_remu = m(is_m, f3[7])
-        c.append(m(sel_remu, sub(rdv[0], RemL)))
-        c.append(m(sel_remu, sub(rdv[1], RemH)))
+            def carry_of(k):  # k in 1..7
+                w = np.zeros(77, dtype=np.int64)
+                w[11 * (k - 1) : 11 * k] = [1 << i for i in range(11)]
+                return alg.gweighted(carry_blk, w)
 
-        # ---- signed M: MULH / MULHSU ----
-        # two's-complement correction: the signed 64-bit product is
-        # P - 2^32*(a31*b_u + b31*a_u) + 2^64*a31*b31, so the signed
-        # high word is (H - a31*b_u - b31*a_u) mod 2^32.  The result
-        # rides m_rem_bits (free on mul rows); the mod-2^32 wrap uses
-        # small carries t0 (ca0+cb) and t1 (c0+c1), each forced into
-        # {0..2} by the limb ranges (every sum < 3*2^16 << p).
-        # Reference semantics: risc0 rv32im circuit MULH/MULHSU
-        # (SURVEY.md §2.4).
-        AL_m = alg.gweighted(a_blk, W_LO)
-        AH_m = alg.gweighted(a_blk, W_HI)
-        BL_m = alg.gweighted(b_blk, W_LO)
-        BH_m = alg.gweighted(b_blk, W_HI)
-        ca0_c = d.data(DC.m_ca0)
-        cb_c = d.data(DC.m_cb)
-        c0b_, c1b_ = c0b, c1b
-        sel_mulh = m(is_m, f3[1])
-        sel_mulhsu = m(is_m, f3[2])
-        t0h = add(ca0_c, cb_c)
-        t1h = add(c0b_, c1b_)
-        c.append(m(sel_mulh, sub(add(add(m(a31, BL_m), m(b31, AL_m)), RemL),
-                                 add(HL, m(c16, t0h)))))
-        c.append(m(sel_mulh, sub(add(add(m(a31, BH_m), m(b31, AH_m)),
-                                     add(RemH, t0h)),
-                                 add(HH, m(c16, t1h)))))
-        c.append(m(sel_mulh, sub(rdv[0], RemL)))
-        c.append(m(sel_mulh, sub(rdv[1], RemH)))
-        c.append(m(sel_mulhsu, sub(add(m(a31, BL_m), RemL),
-                                   add(HL, m(c16, ca0_c)))))
-        c.append(m(sel_mulhsu, sub(add(m(a31, BH_m), add(RemH, ca0_c)),
-                                   add(HH, m(c16, c0b_)))))
-        c.append(m(sel_mulhsu, sub(rdv[0], RemL)))
-        c.append(m(sel_mulhsu, sub(rdv[1], RemH)))
+            carries = [alg.zero()] + [carry_of(k) for k in range(1, 8)]
+            c256 = alg.const(256)
+            for k in range(7):
+                ck = dsum([m(A[i], Bb[k - i])
+                           for i in range(max(0, k - 3), min(4, k + 1))])
+                c.append(m(is_m, sub(add(ck, carries[k]),
+                                     add(Rb[k], m(c256, carries[k + 1])))))
+            c.append(m(is_m, sub(carries[7], Rb[7])))
+            # MUL (lo) / MULHU (hi) results
+            HL = alg.gweighted(hi_blk, W_LO)
+            HH = alg.gweighted(hi_blk, W_HI)
+            c.append(m(m(is_m, f3[0]), sub(rdv[0], RL)))
+            c.append(m(m(is_m, f3[0]), sub(rdv[1], RH)))
+            c.append(m(m(is_m, f3[3]), sub(rdv[0], HL)))
+            c.append(m(m(is_m, f3[3]), sub(rdv[1], HH)))
+            # DIVU/REMU: a_bits carry the quotient q; the product machinery
+            # gives q*b in (r_bits, hi_bits); identity q*b + r == a, r < b.
+            rem_blk = d.datab(DC.m_rem_bits)
+            RemL = alg.gweighted(rem_blk, W_LO)
+            RemH = alg.gweighted(rem_blk, W_HI)
+            ca0 = d.data(DC.m_ca0)
+            c.append(m(is_mdiv, sub(add(RL, RemL), add(rs1v[0], m(ca0, c16)))))
+            c.append(m(is_mdiv, sub(add(add(RH, RemH), ca0), rs1v[1])))
+            c.append(m(is_mdiv, HL))
+            c.append(m(is_mdiv, HH))
+            # divisor-zero flag via inverse gadget on (b0 + b1); shared by
+            # the unsigned and signed division families
+            bzero = d.data(DC.m_bzero)
+            binv = d.data(DC.m_binv)
+            sB = add(op2[0], op2[1])
+            c.append(m(is_anydiv, m(bzero, sB)))
+            c.append(m(is_anydiv, sub(add(bzero, m(sB, binv)), one)))
+            # r < b (unless b == 0): r + d + 1 == b with 32-bit d
+            d_blk = d.datab(DC.m_d_bits)
+            DL_ = alg.gweighted(d_blk, W_LO)
+            DH_ = alg.gweighted(d_blk, W_HI)
+            cb = d.data(DC.m_cb)
+            nz = m(is_mdiv, sub(one, bzero))
+            c.append(m(nz, sub(add(add(RemL, DL_), one),
+                               add(op2[0], m(cb, c16)))))
+            c.append(m(nz, sub(add(add(RemH, DH_), cb), op2[1])))
+            # DIVU result: q, or 2^32-1 when b == 0 (RISC-V spec)
+            sel_divu = m(is_m, f3[5])
+            QL = alg.gweighted(a_blk, W_LO)
+            QH = alg.gweighted(a_blk, W_HI)
+            c.append(m(sel_divu, sub(rdv[0], add(m(sub(one, bzero), QL),
+                                                 m(bzero, cFFFF)))))
+            c.append(m(sel_divu, sub(rdv[1], add(m(sub(one, bzero), QH),
+                                                 m(bzero, cFFFF)))))
+            # REMU result: r (covers b == 0, where the identity forces r == a)
+            sel_remu = m(is_m, f3[7])
+            c.append(m(sel_remu, sub(rdv[0], RemL)))
+            c.append(m(sel_remu, sub(rdv[1], RemH)))
 
-        # ---- signed M: DIV / REM ----
-        # a_bits carry the two's-complement quotient q_u, m_rem_bits the
-        # remainder r_u, sh_oh the dividend's (rs1) bit decomposition
-        # (the one-hot sum is gated off these rows).  The byte
-        # multiplier above supplies P = q_u*b_u in full 64 bits; the
-        # exact signed identity q_s*b_s + r_s = a_s is enforced mod
-        # 2^64 via sign-correction limbs — sound because every
-        # magnitude is < 2^63, so the congruence is integer equality.
-        # Special cases per the RISC-V M spec: b == 0 -> q = -1, r = a
-        # (identity then forces r = a; q forced below); overflow
-        # (-2^31 / -1) -> q = -2^31, r = 0 via the committed o flag.
-        # Reference semantics: risc0 rv32im circuit DIV/REM
-        # (SURVEY.md §2.4).
-        sbit = [d.data(DC.m_s_bits.start + i) for i in range(8)]
-        G = d.data(DC.m_g)
-        G2 = d.data(DC.m_g2)
-        alpha = d.data(DC.sh_oh.start + 31)
-        rho = d.data(DC.m_rem_bits.start + 31)
-        o_flag = sbit[2]
-        c.append(sub(G, m(selS, sub(one, o_flag))))
-        c.append(sub(G2, m(selS, sub(one, bzero))))
-        # dividend decomposition: sh_oh bits == rs1 (gives alpha = sign a)
-        c.append(m(selS, sub(rs1v[0], alg.gweighted(sh_blk, W_LO))))
-        c.append(m(selS, sub(rs1v[1], alg.gweighted(sh_blk, W_HI))))
-        # low 32 bits: P_lo + r = a + 2^32*k, carries k0/k1
-        k1s = d.data(DC.m_ca1)
-        c.append(m(selS, sub(add(RL, RemL), add(rs1v[0], m(c16, ca0_c)))))
-        c.append(m(selS, sub(add(add(RH, RemH), ca0_c),
-                             add(rs1v[1], m(c16, k1s)))))
-        # high 32 bits, gated G = selS*(1-o):
-        #   H + alpha + k1 + 2^32 = rho + corr + 2^32*e,
-        #   corr = q31*b_u + b31*q_u  (q31 = a_bits[31] here)
-        # limbed with s0 in {0..3} (c0 + 2*c1) and e in {0..2}
-        Ucorr = add(m(a31, op2[0]), m(b31, AL_m))
-        Vcorr = add(m(a31, op2[1]), m(b31, AH_m))
-        s0s = add(c0b_, add(c1b_, c1b_))
-        e_s = add(sbit[0], add(sbit[1], sbit[1]))
-        c217 = alg.const(1 << 17)
-        c.append(m(G, sub(add(add(HL, add(alpha, k1s)), c217),
-                          add(add(rho, Ucorr), m(c16, s0s)))))
-        c.append(m(G, sub(add(add(HH, s0s), c16),
-                          add(add(Vcorr, two), m(c16, e_s)))))
-        # sign(r) == sign(a) unless r == 0
-        c.append(m(selS, m(sub(alpha, rho), RemL)))
-        c.append(m(selS, m(sub(alpha, rho), RemH)))
-        # b == 0 forces q = -1 (all 32 quotient bits set)
-        c32_ = alg.const(32)
-        c.append(m(selS, m(bzero, sub(c32_, alg.gsum(a_blk)))))
-        # o == 1 forces a == -2^31, b == -1, q == -2^31, r == 0
-        low31 = np.array([1 if i < 31 else 0 for i in range(32)],
-                         dtype=np.int64)
-        sh_low31 = alg.gweighted(sh_blk, low31)
-        a_low31 = alg.gweighted(a_blk, low31)
-        c.append(m(selS, m(o_flag, add(sh_low31, sub(one, alpha)))))
-        c.append(m(selS, m(o_flag, sub(c32_, alg.gsum(b_blk)))))
-        c.append(m(selS, m(o_flag, add(a_low31, sub(one, a31)))))
-        c.append(m(selS, m(o_flag, add(RemL, RemH))))
-        # |r| < |b| when b != 0, by sign case (rho, b31); slack D rides
-        # m_d_bits, carries ride s_bits[3..5)
-        cA, cB = sbit[3], sbit[4]
-        n_rho, n_tau = sub(one, rho), sub(one, b31)
-        case00 = m(n_rho, n_tau)  # r >= 0, b > 0:  r + 1 + D = b
-        case01 = m(n_rho, b31)    # r >= 0, b < 0:  r + b + 1 + D = 2^32
-        case10 = m(rho, n_tau)    # r < 0,  b > 0:  r + b = 2^32 + 1 + D
-        case11 = m(rho, b31)      # r < 0,  b < 0:  b + 1 + D = r
-        c.append(m(G2, m(case00, sub(add(add(RemL, one), DL_),
-                                     add(op2[0], m(c16, cA))))))
-        c.append(m(G2, m(case00, sub(add(add(RemH, DH_), cA), op2[1]))))
-        c.append(m(G2, m(case01, sub(add(add(add(RemL, op2[0]), one), DL_),
-                                     m(c16, add(one, cA))))))
-        c.append(m(G2, m(case01, sub(add(add(add(RemH, op2[1]), DH_),
-                                         add(one, cA)),
-                                     c16))))
-        g0p = add(cA, add(cB, cB))
-        c.append(m(G2, m(case10, sub(add(add(RemL, op2[0]), c16),
-                                     add(add(one, DL_), m(c16, g0p))))))
-        c.append(m(G2, m(case10, sub(add(add(RemH, op2[1]), g0p),
-                                     add(add(DH_, c16), one)))))
-        c.append(m(G2, m(case11, sub(add(add(op2[0], one), DL_),
-                                     add(RemL, m(c16, cA))))))
-        c.append(m(G2, m(case11, sub(add(add(op2[1], DH_), cA), RemH))))
-        # DIV result: q; REM result: r (both cover the special cases)
-        sel_div = m(is_m, f3[4])
-        sel_rem = m(is_m, f3[6])
-        c.append(m(sel_div, sub(rdv[0], AL_m)))
-        c.append(m(sel_div, sub(rdv[1], AH_m)))
-        c.append(m(sel_rem, sub(rdv[0], RemL)))
-        c.append(m(sel_rem, sub(rdv[1], RemH)))
+            # ---- signed M: MULH / MULHSU ----
+            # two's-complement correction: the signed 64-bit product is
+            # P - 2^32*(a31*b_u + b31*a_u) + 2^64*a31*b31, so the signed
+            # high word is (H - a31*b_u - b31*a_u) mod 2^32.  The result
+            # rides m_rem_bits (free on mul rows); the mod-2^32 wrap uses
+            # small carries t0 (ca0+cb) and t1 (c0+c1), each forced into
+            # {0..2} by the limb ranges (every sum < 3*2^16 << p).
+            # Reference semantics: risc0 rv32im circuit MULH/MULHSU
+            # (SURVEY.md §2.4).
+            AL_m = alg.gweighted(a_blk, W_LO)
+            AH_m = alg.gweighted(a_blk, W_HI)
+            BL_m = alg.gweighted(b_blk, W_LO)
+            BH_m = alg.gweighted(b_blk, W_HI)
+            ca0_c = d.data(DC.m_ca0)
+            cb_c = d.data(DC.m_cb)
+            c0b_, c1b_ = c0b, c1b
+            sel_mulh = m(is_m, f3[1])
+            sel_mulhsu = m(is_m, f3[2])
+            t0h = add(ca0_c, cb_c)
+            t1h = add(c0b_, c1b_)
+            c.append(m(sel_mulh, sub(add(add(m(a31, BL_m), m(b31, AL_m)), RemL),
+                                     add(HL, m(c16, t0h)))))
+            c.append(m(sel_mulh, sub(add(add(m(a31, BH_m), m(b31, AH_m)),
+                                         add(RemH, t0h)),
+                                     add(HH, m(c16, t1h)))))
+            c.append(m(sel_mulh, sub(rdv[0], RemL)))
+            c.append(m(sel_mulh, sub(rdv[1], RemH)))
+            c.append(m(sel_mulhsu, sub(add(m(a31, BL_m), RemL),
+                                       add(HL, m(c16, ca0_c)))))
+            c.append(m(sel_mulhsu, sub(add(m(a31, BH_m), add(RemH, ca0_c)),
+                                       add(HH, m(c16, c0b_)))))
+            c.append(m(sel_mulhsu, sub(rdv[0], RemL)))
+            c.append(m(sel_mulhsu, sub(rdv[1], RemH)))
+
+            # ---- signed M: DIV / REM ----
+            # a_bits carry the two's-complement quotient q_u, m_rem_bits the
+            # remainder r_u, sh_oh the dividend's (rs1) bit decomposition
+            # (the one-hot sum is gated off these rows).  The byte
+            # multiplier above supplies P = q_u*b_u in full 64 bits; the
+            # exact signed identity q_s*b_s + r_s = a_s is enforced mod
+            # 2^64 via sign-correction limbs — sound because every
+            # magnitude is < 2^63, so the congruence is integer equality.
+            # Special cases per the RISC-V M spec: b == 0 -> q = -1, r = a
+            # (identity then forces r = a; q forced below); overflow
+            # (-2^31 / -1) -> q = -2^31, r = 0 via the committed o flag.
+            # Reference semantics: risc0 rv32im circuit DIV/REM
+            # (SURVEY.md §2.4).
+            sbit = [d.data(DC.m_s_bits.start + i) for i in range(8)]
+            G = d.data(DC.m_g)
+            G2 = d.data(DC.m_g2)
+            alpha = d.data(DC.sh_oh.start + 31)
+            rho = d.data(DC.m_rem_bits.start + 31)
+            o_flag = sbit[2]
+            c.append(sub(G, m(selS, sub(one, o_flag))))
+            c.append(sub(G2, m(selS, sub(one, bzero))))
+            # dividend decomposition: sh_oh bits == rs1 (gives alpha = sign a)
+            c.append(m(selS, sub(rs1v[0], alg.gweighted(sh_blk, W_LO))))
+            c.append(m(selS, sub(rs1v[1], alg.gweighted(sh_blk, W_HI))))
+            # low 32 bits: P_lo + r = a + 2^32*k, carries k0/k1
+            k1s = d.data(DC.m_ca1)
+            c.append(m(selS, sub(add(RL, RemL), add(rs1v[0], m(c16, ca0_c)))))
+            c.append(m(selS, sub(add(add(RH, RemH), ca0_c),
+                                 add(rs1v[1], m(c16, k1s)))))
+            # high 32 bits, gated G = selS*(1-o):
+            #   H + alpha + k1 + 2^32 = rho + corr + 2^32*e,
+            #   corr = q31*b_u + b31*q_u  (q31 = a_bits[31] here)
+            # limbed with s0 in {0..3} (c0 + 2*c1) and e in {0..2}
+            Ucorr = add(m(a31, op2[0]), m(b31, AL_m))
+            Vcorr = add(m(a31, op2[1]), m(b31, AH_m))
+            s0s = add(c0b_, add(c1b_, c1b_))
+            e_s = add(sbit[0], add(sbit[1], sbit[1]))
+            c217 = alg.const(1 << 17)
+            c.append(m(G, sub(add(add(HL, add(alpha, k1s)), c217),
+                              add(add(rho, Ucorr), m(c16, s0s)))))
+            c.append(m(G, sub(add(add(HH, s0s), c16),
+                              add(add(Vcorr, two), m(c16, e_s)))))
+            # sign(r) == sign(a) unless r == 0
+            c.append(m(selS, m(sub(alpha, rho), RemL)))
+            c.append(m(selS, m(sub(alpha, rho), RemH)))
+            # b == 0 forces q = -1 (all 32 quotient bits set)
+            c32_ = alg.const(32)
+            c.append(m(selS, m(bzero, sub(c32_, alg.gsum(a_blk)))))
+            # o == 1 forces a == -2^31, b == -1, q == -2^31, r == 0
+            low31 = np.array([1 if i < 31 else 0 for i in range(32)],
+                             dtype=np.int64)
+            sh_low31 = alg.gweighted(sh_blk, low31)
+            a_low31 = alg.gweighted(a_blk, low31)
+            c.append(m(selS, m(o_flag, add(sh_low31, sub(one, alpha)))))
+            c.append(m(selS, m(o_flag, sub(c32_, alg.gsum(b_blk)))))
+            c.append(m(selS, m(o_flag, add(a_low31, sub(one, a31)))))
+            c.append(m(selS, m(o_flag, add(RemL, RemH))))
+            # |r| < |b| when b != 0, by sign case (rho, b31); slack D rides
+            # m_d_bits, carries ride s_bits[3..5)
+            cA, cB = sbit[3], sbit[4]
+            n_rho, n_tau = sub(one, rho), sub(one, b31)
+            case00 = m(n_rho, n_tau)  # r >= 0, b > 0:  r + 1 + D = b
+            case01 = m(n_rho, b31)    # r >= 0, b < 0:  r + b + 1 + D = 2^32
+            case10 = m(rho, n_tau)    # r < 0,  b > 0:  r + b = 2^32 + 1 + D
+            case11 = m(rho, b31)      # r < 0,  b < 0:  b + 1 + D = r
+            c.append(m(G2, m(case00, sub(add(add(RemL, one), DL_),
+                                         add(op2[0], m(c16, cA))))))
+            c.append(m(G2, m(case00, sub(add(add(RemH, DH_), cA), op2[1]))))
+            c.append(m(G2, m(case01, sub(add(add(add(RemL, op2[0]), one), DL_),
+                                         m(c16, add(one, cA))))))
+            c.append(m(G2, m(case01, sub(add(add(add(RemH, op2[1]), DH_),
+                                             add(one, cA)),
+                                         c16))))
+            g0p = add(cA, add(cB, cB))
+            c.append(m(G2, m(case10, sub(add(add(RemL, op2[0]), c16),
+                                         add(add(one, DL_), m(c16, g0p))))))
+            c.append(m(G2, m(case10, sub(add(add(RemH, op2[1]), g0p),
+                                         add(add(DH_, c16), one)))))
+            c.append(m(G2, m(case11, sub(add(add(op2[0], one), DL_),
+                                         add(RemL, m(c16, cA))))))
+            c.append(m(G2, m(case11, sub(add(add(op2[1], DH_), cA), RemH))))
+            # DIV result: q; REM result: r (both cover the special cases)
+            sel_div = m(is_m, f3[4])
+            sel_rem = m(is_m, f3[6])
+            c.append(m(sel_div, sub(rdv[0], AL_m)))
+            c.append(m(sel_div, sub(rdv[1], AH_m)))
+            c.append(m(sel_rem, sub(rdv[0], RemL)))
+            c.append(m(sel_rem, sub(rdv[1], RemH)))
+
+        else:
+            # no M machinery: executed instructions must not
+            # be M-extension ops (fetch binds is_m to t_mext)
+            c.append(is_m)
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])
@@ -961,14 +1064,13 @@ class Rv32imAir(dsl.Air):
         c.append(m(is_lh, sub(rdv[0], selhalf_b)))
         c.append(m(is_lh, sub(rdv[1], m(cFFFF, hbit_b))))
         # SB: unselected bytes preserved; selected byte = rs2 low byte
-        # (rs2v[0] = sel_byte + 256*Q8, Q8 an 8-bit witness in the first
-        # 8 m_hi_bits — free on store rows since is_m = 0 there)
+        # (rs2v[0] = sel_byte + 256*Q8, Q8 an 8-bit witness block)
         is_sb = m(is_store, f3[0])
         is_sh = m(is_store, f3[1])
         for j in range(4):
             c.append(m(is_sb, m(sub(one, shs[j]),
                                 sub(abytes[j], bbytes[j]))))
-        q8_idx = list(range(DC.m_hi_bits.start, DC.m_hi_bits.start + 8))
+        q8_idx = list(range(dc.q8.start, dc.q8.stop))
         Q8 = alg.gweighted(d.datab(q8_idx),
                            np.array([1 << i for i in range(8)],
                                     dtype=np.int64))
@@ -1060,6 +1162,24 @@ class Rv32imAir(dsl.Air):
         c.append(m(not_last, m(s_active_n, sub(one, s_active))))
         c.append(m(is_first, m(s_active, sub(s_new, one))))
 
+        # ---- paging port bindings ----
+        # first READ of an address must see its segment-entry value
+        # (first writes leave s_pre_val free: the lift program binds it
+        # to the pre-memory PageTree root via the page walk)
+        s_w = d.data(DC.s_is_write)
+        s_pre = [d.data(DC.s_pre_val.start + i) for i in range(2)]
+        for limb in range(2):
+            c.append(m(m(s_active, s_new),
+                       m(sub(one, s_w), sub(s_val[limb], s_pre[limb]))))
+        # s_last == s_active * (next inactive ? 1 : s_new_next); split form
+        # keeps the value boolean even if a prover sets s_new on inactive
+        # rows (s_new is unconstrained there)
+        s_last_c = d.data(DC.s_last)
+        c.append(m(not_last, sub(s_last_c,
+                                 m(s_active, add(m(s_active_n, s_new_n),
+                                                 sub(one, s_active_n))))))
+        c.append(m(is_last, sub(s_last_c, s_active)))
+
         # ---- LogUp ports: inv * pack == sel ----
         packs, sels = _ports(alg, d, gamma, dpows)
         for port in AC.PORTS:
@@ -1094,7 +1214,6 @@ class Rv32imAir(dsl.Air):
         # ---- multiplicities only on active table rows ----
         t_act = d.ctrl(CC.t_active)
         c.append(m(d.data(DC.mult_fetch), sub(one, t_act)))
-        c.append(m(d.data(DC.mult_init), sub(one, t_act)))
 
         # ---- claim boundaries (grouped over all 64 reg limbs) ----
         regs_full = d.datab(slice(DC.regs.start, DC.regs.stop))

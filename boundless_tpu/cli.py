@@ -158,7 +158,11 @@ def cmd_cluster_serve(args):
         succinct=system, dev_mode=dev_mode)
     api = ClusterApi(ctx)
     port = int(cfg.get("api", {}).get("port", args.port))
-    server, thread = make_http_server(api, port=port)
+    host = cfg.get("api", {}).get("host", getattr(args, "host", "127.0.0.1"))
+    token = (getattr(args, "token", None)
+             or cfg.get("api", {}).get("token")
+             or os.environ.get("BT_CLUSTER_TOKEN"))
+    server, thread = make_http_server(api, host=host, port=port, token=token)
     thread.start()
     run_workers(ctx, pools)
     print(f"cluster API on http://127.0.0.1:{server.server_address[1]} "
@@ -177,6 +181,8 @@ def cmd_cluster_worker(args):
     argv = ["--api-url", args.api_url, "--stream", args.stream]
     if args.worker_id:
         argv += ["--worker-id", args.worker_id]
+    if getattr(args, "token", None):
+        argv += ["--token", args.token]
     if args.idle_timeout is not None:
         argv += ["--idle-timeout", str(args.idle_timeout)]
     worker_main(argv)
@@ -212,6 +218,10 @@ def main(argv=None):
                                                        required=True)
     sv = cluster.add_parser("serve")
     sv.add_argument("--port", type=int, default=8081)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--token", default=None,
+                    help="bearer token for /workers/* (required when "
+                         "--host is non-loopback; default $BT_CLUSTER_TOKEN)")
     sv.add_argument("--po2", type=int, default=14)
     sv.add_argument("--exec-workers", type=int, default=2)
     sv.add_argument("--prove-workers", type=int, default=1)
@@ -230,6 +240,7 @@ def main(argv=None):
                     help="comma-separated subset of "
                          "exec,prove,join,coproc,snark,aux")
     wk.add_argument("--worker-id", default="")
+    wk.add_argument("--token", default=None)
     wk.add_argument("--idle-timeout", type=float, default=None)
     wk.set_defaults(fn=cmd_cluster_worker)
 

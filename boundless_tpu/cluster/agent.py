@@ -226,23 +226,17 @@ class Agent:
             sr = zprove.dev_receipt(image, seg, ps=self.ctx.ps)
         else:
             sr = zprove.prove_segment(image, seg, ps=self.ctx.ps)
-        # RAM-continuity claim slots: program identity + post-memory root
-        # (prove.py _segment_image; reference prove.rs:68-95 lift claims)
-        program_id = zprove.image_id_of(image, seg.po2, self.ctx.ps)
-        if seg.post_mem is None or seg.post_mem == seg.pre_mem:
-            post_root = sr.image_id
-        else:
-            post_root = zprove.mem_root(image, seg.post_mem, seg.po2,
-                                        self.ctx.ps)
+        # RAM continuity: the claim's memory roots are PageTree roots of
+        # the segment's entry memory and its public page updates; in the
+        # succinct path the lift program derives the post root IN-CIRCUIT
+        # (recursion/succinct.py; reference prove.rs:68-95 lift claims)
         if self.ctx.succinct is not None:
             pre_chains = _decode_chains(d["pre_chains"])
-            lifted = self.ctx.succinct.lift(sr, pre_chains, program_id,
-                                            post_root)
+            lifted = self.ctx.succinct.lift(sr, pre_chains,
+                                            pre_mem=seg.pre_mem)
             claim_hex = claims.digest_bytes(lifted.claim.digest()).hex()
         else:
-            lifted = rec.lift(sr, ps=self.ctx.ps,
-                              program_image_id=program_id,
-                              post_mem_root=post_root)
+            lifted = rec.lift(sr, ps=self.ctx.ps, pre_mem=seg.pre_mem)
             claim_hex = lifted.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, d["out"]), lifted)
         return dict(claim=claim_hex), [hs.segment_key(job, d["segment"])]
@@ -331,15 +325,24 @@ class Agent:
             jb = stats.get("journal", b"")
             words = [int.from_bytes(jb[i : i + 4], "little")
                      for i in range(0, len(jb), 4)]
+            from ..zkvm import paging
+
+            mem_anchor = paging.image_root(image)
             session = succinct.finalize_session(root, words,
-                                                entry_pc=image.entry)
-            if not succinct.verify_session(session, self.ctx.succinct):
+                                                entry_pc=image.entry,
+                                                image_mem_root=mem_anchor)
+            if not succinct.verify_session(session, self.ctx.succinct,
+                                           expected_mem_root=mem_anchor):
                 raise RuntimeError(
                     "finalize: session receipt failed verification")
             claim_hex = claims.digest_bytes(root.claim.digest()).hex()
         else:
-            session = rec.SessionReceipt.finalize(root, entry_pc=image.entry)
-            if not session.verify(ps=self.ctx.ps):
+            from ..zkvm import paging
+
+            session = rec.SessionReceipt.finalize(
+                root, entry_pc=image.entry,
+                image_mem_root=paging.image_root(image))
+            if not session.verify(ps=self.ctx.ps, image=image):
                 raise RuntimeError(
                     "finalize: session receipt failed verification")
             claim_hex = root.claim_digest().hex()

@@ -247,12 +247,32 @@ class ClusterApi:
         return M.REGISTRY.render()
 
 
-def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
-    """Wrap a ClusterApi in a threaded stdlib HTTP server."""
+def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
+                     allow_insecure=False):
+    """Wrap a ClusterApi in a threaded stdlib HTTP server.
+
+    `token`: shared-secret bearer token checked on every /workers/* route
+    (the worker plane can mark tasks done with forged outputs / poison the
+    hot store, so it must not be open on a reachable interface; reference
+    provisions per-user API keys, `prover/crates/api/src/helpers.rs:16-24`).
+    Binding a non-loopback address without a token requires an explicit
+    `allow_insecure=True` (trusted-network assumption made visible).
+    """
+    loopback = host in ("127.0.0.1", "::1", "localhost")
+    if not loopback and token is None and not allow_insecure:
+        raise ValueError(
+            "binding the worker plane on a non-loopback address requires "
+            "token=... (or allow_insecure=True on a trusted network)")
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _authorized(self, parts) -> bool:
+            if token is None or parts[:1] != ["workers"]:
+                return True
+            got = self.headers.get("Authorization", "")
+            return got == f"Bearer {token}"
 
         def _send(self, code, body, ctype="application/json"):
             if isinstance(body, dict):
@@ -276,6 +296,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
 
         def do_PUT(self):
             parts, qs = self._route()
+            if not self._authorized(parts):
+                return self._send(401, {"error": "unauthorized"})
             try:
                 if parts[:2] == ["images", "upload"]:
                     self._send(200, api.upload_image(parts[2], self._body()))
@@ -298,6 +320,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
 
         def do_POST(self):
             parts, qs = self._route()
+            if not self._authorized(parts):
+                return self._send(401, {"error": "unauthorized"})
             try:
                 req = json.loads(self._body() or b"{}")
                 if parts == ["sessions", "create"]:
@@ -322,6 +346,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
 
         def do_DELETE(self):
             parts, _qs = self._route()
+            if not self._authorized(parts):
+                return self._send(401, {"error": "unauthorized"})
             try:
                 if parts[:2] == ["workers", "hot"]:
                     self._send(200, api.hot_delete("/".join(parts[2:])))
@@ -332,6 +358,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0):
 
         def do_GET(self):
             parts, qs = self._route()
+            if not self._authorized(parts):
+                return self._send(401, {"error": "unauthorized"})
             try:
                 if parts[:2] == ["sessions", "status"]:
                     self._send(200, api.session_status(parts[2]))

@@ -32,15 +32,21 @@ from ..utils import serde
 class _Http:
     """Tiny status-aware HTTP helper (stdlib only, like BentoClient)."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, timeout: float = 60.0,
+                 token: str = None):
         self.base = base_url.rstrip("/")
+        self.timeout = timeout  # a stalled API server must not hang workers
+        self.token = token
 
     def req(self, method: str, path: str, body: bytes = None,
             headers: dict = None):
+        headers = dict(headers or {})
+        if self.token:
+            headers.setdefault("Authorization", f"Bearer {self.token}")
         req = urllib.request.Request(self.base + path, data=body,
-                                     method=method, headers=headers or {})
+                                     method=method, headers=headers)
         try:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 return resp.status, resp.read()
         except urllib.error.HTTPError as e:
             return e.code, e.read()
@@ -188,12 +194,12 @@ def _ps_from(d: dict) -> stark.ProofSystem:
                              commit_expand=d["commit_expand"])
 
 
-def connect(base_url: str):
+def connect(base_url: str, token: str = None):
     """Build a fully remote ClusterContext from /workers/config."""
     from .agent import ClusterContext
     from ..recursion import succinct as S
 
-    http = _Http(base_url)
+    http = _Http(base_url, token=token)
     cfg = http.json("GET", "/workers/config")
     system = None
     if cfg["succinct"] == "dev":
@@ -233,6 +239,9 @@ def worker_main(argv=None):
                     help="comma-separated subset of "
                          "exec,prove,join,coproc,snark,aux")
     ap.add_argument("--worker-id", default="")
+    ap.add_argument("--token", default=None,
+                    help="bearer token for the worker plane (default: "
+                         "$BT_CLUSTER_TOKEN)")
     ap.add_argument("--idle-timeout", type=float, default=None,
                     help="exit after this many idle seconds (default: run "
                          "until SIGTERM)")
@@ -241,7 +250,8 @@ def worker_main(argv=None):
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    ctx = connect(args.api_url)
+    ctx = connect(args.api_url,
+                  token=args.token or os.environ.get("BT_CLUSTER_TOKEN"))
     streams = [s.strip() for s in args.stream.split(",") if s.strip()]
     threads = []
     for s in streams:

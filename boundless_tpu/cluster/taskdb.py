@@ -4,7 +4,9 @@ Re-design of the reference scheduler (`prover/crates/taskdb`: Redis Lua
 function library, `src/redis_backend.rs:18-618`; and the Postgres gen,
 `bento/crates/taskdb/migrations/1_taskdb.sql`). Same semantics:
 
-  * streams: (worker_type, priority) work queues with fair-share weights
+  * streams: (worker_type, priority) work queues (per-user fair-share
+    weights — reference `reserved`/`be_mult`, `1_taskdb.sql:24-48` — are
+    not yet implemented in either backend)
   * jobs own a DAG of tasks; task states Pending → Ready → Running →
     Done/Failed (`src/lib.rs:87-95`)
   * dependency counts decremented atomically on completion; a task whose

@@ -38,14 +38,27 @@ class MerkleTree(NamedTuple):
         return self.levels[0].shape[0]
 
 
+# Leaf hashing below this row count keeps the O(1)-graph scanned sponge
+# (tiny test traces / CPU); at or above it the unrolled cells-layout
+# sponge wins (dense VPU lanes, state resident across rounds).
+CELLS_MIN_ROWS = 4096
+
+
 def commit(matrix) -> MerkleTree:
     """Commit to a (N, C) matrix, N a power of two."""
     n = matrix.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
-    # Leaf + inner hashing rides the Pallas VMEM-resident sponge on TPU
-    # (poseidon2_pallas.py, bit-identical); small levels / CPU use jnp.
+    # Leaf hashing is the prover's dominant cost: ride the cells-layout
+    # pure-XLA sponge (poseidon2.hash_rows_cells, bit-identical). The
+    # Pallas kernels (poseidon2_pallas.py) are an alternative measured in
+    # docs/ROOFLINE.md — same throughput once warm, but their first
+    # execution pays a ~10-min server-side Mosaic compile per process on
+    # this TPU relay, so the XLA path is the default (BT_P2_PALLAS=1
+    # re-enables them).
     if P2K.usable(n):
         leaves = P2K.hash_rows(matrix)
+    elif n >= CELLS_MIN_ROWS:
+        leaves = P2.hash_rows_cells(matrix)
     else:
         leaves = P2.hash_elems(matrix)  # (N, 8)
     levels = [leaves]
@@ -54,6 +67,8 @@ def commit(matrix) -> MerkleTree:
         left, right = cur[0::2], cur[1::2]
         if P2K.usable(left.shape[0]):
             cur = P2K.hash_pairs(left, right)
+        elif left.shape[0] >= CELLS_MIN_ROWS:
+            cur = P2.hash_rows_cells(jnp.concatenate([left, right], axis=1))
         else:
             cur = P2.hash_pair(left, right)
         levels.append(cur)

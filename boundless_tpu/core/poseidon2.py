@@ -190,6 +190,109 @@ def permute(state):
     return state
 
 
+# ---------------------------------------------------------------------------
+# Cells-layout sponge (the Merkle leaf-hash hot path, pure XLA)
+# ---------------------------------------------------------------------------
+# Layout: state as (24, N) — each Poseidon2 cell is a full row vector, so
+# every op is a dense (N,)-wide VPU op with no lane padding (the (..., 24)
+# trailing layout wastes 104/128 lanes per vreg). Rounds are UNROLLED
+# inside the absorb-block scan body: XLA fuses the whole permutation into
+# one kernel, so the (24, N) state round-trips HBM once per absorbed
+# block (~2 ms/tree at po2 17) instead of once per round. This is the
+# replacement for the reference's CUDA Poseidon2 Merkle kernels
+# (`risc0-sys`, SURVEY.md §2.4) on the TPU: pure XLA (no Mosaic) keeps
+# first-run latency cacheable while matching hand-kernel throughput for
+# this elementwise pattern.
+
+
+def _m4_seq_cells(x0, x1, x2, x3):
+    """M4 @ (x0..x3) via the Poseidon2 paper's 14-add sequence."""
+    t0 = F.add(x0, x1)
+    t1 = F.add(x2, x3)
+    t2 = F.add(F.add(x1, x1), t1)  # 2*x1 + t1
+    t3 = F.add(F.add(x3, x3), t0)  # 2*x3 + t0
+    d1 = F.add(t1, t1)
+    t4 = F.add(F.add(d1, d1), t3)  # 4*t1 + t3
+    d0 = F.add(t0, t0)
+    t5 = F.add(F.add(d0, d0), t2)  # 4*t0 + t2
+    t6 = F.add(t3, t5)
+    t7 = F.add(t2, t4)
+    return t6, t5, t7, t4
+
+
+def _ext_linear_cells(s):
+    """M_E @ state for (24, ...): per-chunk M4 + chunk-sum broadcast."""
+    rest = s.shape[1:]
+    s6 = s.reshape((WIDTH // 4, 4) + rest)
+    ys = _m4_seq_cells(s6[:, 0], s6[:, 1], s6[:, 2], s6[:, 3])
+    y = jnp.stack(ys, axis=1)  # (6, 4, ...)
+    tot = F.add(F.add(y[0], y[1]), F.add(y[2], y[3]))
+    tot = F.add(tot, F.add(y[4], y[5]))  # (4, ...)
+    return F.add(y, tot[None]).reshape((WIDTH,) + rest)
+
+
+def _lead_sum24(s):
+    """Modular sum over the leading 24 axis -> (1, ...)."""
+    t = F.add(F.add(s[0:8], s[8:16]), s[16:24])
+    t = F.add(t[0:4], t[4:8])
+    t = F.add(t[0:2], t[2:4])
+    return F.add(t[0:1], t[1:2])
+
+
+def permute_cells(s):
+    """Poseidon2 permutation on a (24, ...) cells-layout state.
+
+    Bit-identical to `permute` on the transposed state; rounds unrolled
+    (callers embed this in a scan over absorb blocks, keeping the traced
+    graph proportional to one permutation)."""
+    ext_rc, int_rc, mu = _constants()
+    bc = (slice(None),) + (None,) * (s.ndim - 1)
+    mu_b = jnp.asarray(mu)[bc]
+    half = ROUNDS_FULL // 2
+
+    def ext_round(s, r):
+        return _ext_linear_cells(_sbox(F.add(s, jnp.asarray(ext_rc[r])[bc])))
+
+    def int_round(s, r):
+        s0 = _sbox(F.add(s[0:1], jnp.uint32(int_rc[r])))
+        s = jnp.concatenate([s0, s[1:]], axis=0)
+        # M_I = J + diag(mu): dense Montgomery product + the row sum
+        return F.add(F.mul(s, mu_b), _lead_sum24(s))
+
+    s = _ext_linear_cells(s)
+    for r in range(half):
+        s = ext_round(s, r)
+    for r in range(ROUNDS_PARTIAL):
+        s = int_round(s, r)
+    for r in range(half, ROUNDS_FULL):
+        s = ext_round(s, r)
+    return s
+
+
+def hash_rows_cells(matrix):
+    """Sponge-hash the rows of (N, C) in the cells layout -> (N, 8).
+
+    Semantics identical to `hash_elems` (rate-16 absorb, zero-padded
+    final block). This is the high-throughput leaf-hash path; inner tree
+    levels keep the O(1)-graph scanned `hash_pair`."""
+    n, c = matrix.shape
+    blocks = max(1, -(-c // RATE))
+    mat_t = jnp.swapaxes(matrix.astype(jnp.uint32), 0, 1)  # (C, N)
+    if blocks * RATE != c:
+        pad = jnp.zeros((blocks * RATE - c, n), jnp.uint32)
+        mat_t = jnp.concatenate([mat_t, pad], axis=0)
+    xs = mat_t.reshape(blocks, RATE, n)
+    state = jnp.zeros((WIDTH, n), dtype=jnp.uint32)
+
+    def absorb(s, blk):
+        top = F.add(s[:RATE], blk)
+        s = jnp.concatenate([top, s[RATE:]], axis=0)
+        return permute_cells(s), None
+
+    state, _ = jax.lax.scan(absorb, state, xs)
+    return jnp.swapaxes(state[:DIGEST_WORDS], 0, 1)
+
+
 def hash_elems(elems):
     """Sponge-hash rows of Baby Bear elements.
 

@@ -247,6 +247,8 @@ def _pad_cols(mat_t):
 def hash_rows(matrix, interpret=False):
     """Pallas equivalent of P2.hash_elems over the rows of (N, C)."""
     mat_t = _pad_cols(jnp.swapaxes(matrix.astype(_U32), 0, 1))
+    if matrix.shape[0] % TILE_V2 == 0:
+        return _digests_of(_sponge_v2(_lanes_of(mat_t), interpret=interpret))
     return jnp.swapaxes(_sponge_t(mat_t, interpret=interpret), 0, 1)
 
 
@@ -255,20 +257,181 @@ def hash_pairs(left, right, interpret=False):
     mat_t = jnp.concatenate(
         [jnp.swapaxes(left.astype(_U32), 0, 1), jnp.swapaxes(right.astype(_U32), 0, 1)], axis=0
     )
+    if left.shape[0] % TILE_V2 == 0:
+        return _digests_of(_sponge_v2(_lanes_of(mat_t), interpret=interpret))
     return jnp.swapaxes(_sponge_t(mat_t, interpret=interpret), 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: vreg-per-cell layout
+# ---------------------------------------------------------------------------
+# The v1 kernel keeps the transposed (24, T) state on sublanes, so every
+# per-cell op is a (1, T) sublane slice — Mosaic pads those to full
+# (8, 128) vregs at ~1/8 lane utilization, and the concat/slice traffic
+# dominates. v2 keeps the state as (24, 8, 128): every Poseidon2 cell is
+# exactly one u32 vreg, 1024 independent hashes per grid step, and every
+# add/mul is a dense full-vreg VPU op with no sublane slicing anywhere.
+# The M4 block product uses the Poseidon2 paper's 14-add sequence.
+# Semantics are bit-identical to v1 / poseidon2.hash_elems
+# (tests/test_hash.py).
+
+TILE_V2 = 1024  # 8 sublanes x 128 lanes
+
+
+def _m4_seq(x0, x1, x2, x3):
+    """M4 @ (x0..x3) via the Poseidon2 paper's 14-add sequence.
+
+    Operands are (6, 8, 128) chunk slabs (all 6 state chunks at once)."""
+    t0 = F.add(x0, x1)
+    t1 = F.add(x2, x3)
+    t2 = F.add(F.add(x1, x1), t1)  # 2*x1 + t1
+    t3 = F.add(F.add(x3, x3), t0)  # 2*x3 + t0
+    d1 = F.add(t1, t1)
+    t4 = F.add(F.add(d1, d1), t3)  # 4*t1 + t3
+    d0 = F.add(t0, t0)
+    t5 = F.add(F.add(d0, d0), t2)  # 4*t0 + t2
+    t6 = F.add(t3, t5)
+    t7 = F.add(t2, t4)
+    return t6, t5, t7, t4
+
+
+def _ext_linear_v2(s):
+    """M_E @ state for (24, 8, 128): per-chunk M4 + chunk-sum broadcast."""
+    s6 = s.reshape(P2.WIDTH // 4, 4, 8, 128)
+    ys = _m4_seq(s6[:, 0], s6[:, 1], s6[:, 2], s6[:, 3])
+    y = jnp.stack(ys, axis=1)  # (6, 4, 8, 128)
+    tot = F.add(F.add(y[0], y[1]), F.add(y[2], y[3]))
+    tot = F.add(tot, F.add(y[4], y[5]))  # (4, 8, 128)
+    return F.add(y, tot[None]).reshape(P2.WIDTH, 8, 128)
+
+
+def _lead_sum24(s):
+    """Modular sum over the leading 24 axis -> (1, 8, 128)."""
+    t = F.add(F.add(s[0:8], s[8:16]), s[16:24])  # (8, 8, 128)
+    t = F.add(t[0:4], t[4:8])
+    t = F.add(t[0:2], t[2:4])
+    return F.add(t[0:1], t[1:2])
+
+
+@functools.lru_cache(maxsize=1)
+def _v2_consts():
+    """Round constants broadcast to vreg tiles (host numpy u32).
+
+    Pallas kernels cannot close over device constants, so these travel as
+    VMEM operands: ext_rc (8,24,8,128), int_rc (21,8,128), mu (24,8,128)
+    — ~1.1 MB total, read-only, resident for the whole grid.
+    """
+    ext_rc, int_rc, mu = P2._constants()
+    return (
+        np.broadcast_to(np.asarray(ext_rc)[:, :, None, None],
+                        (P2.ROUNDS_FULL, P2.WIDTH, 8, 128)).copy(),
+        np.broadcast_to(np.asarray(int_rc)[:, None, None],
+                        (P2.ROUNDS_PARTIAL, 8, 128)).copy(),
+        np.broadcast_to(np.asarray(mu)[:, None, None],
+                        (P2.WIDTH, 8, 128)).copy(),
+    )
+
+
+def _permute_v2(s, ext_rc, int_rc, mu):
+    """Poseidon2 permutation on a (24, 8, 128) state tile."""
+    half = P2.ROUNDS_FULL // 2
+
+    def ext_round(s, r):
+        return _ext_linear_v2(_sbox(F.add(s, ext_rc[r])))
+
+    def int_round(s, r):
+        s0 = _sbox(F.add(s[0:1], int_rc[r : r + 1]))
+        s = jnp.concatenate([s0, s[1:]], axis=0)
+        # M_I = J + diag(mu): one dense Montgomery product + the row sum
+        return F.add(F.mul(s, mu), _lead_sum24(s))
+
+    s = _ext_linear_v2(s)
+    for r in range(half):
+        s = ext_round(s, r)
+    for r in range(P2.ROUNDS_PARTIAL):
+        s = int_round(s, r)
+    for r in range(half, P2.ROUNDS_FULL):
+        s = ext_round(s, r)
+    return s
+
+
+def _sponge_kernel_v2(in_ref, ext_rc_ref, int_rc_ref, mu_ref, out_ref):
+    cp = in_ref.shape[1]
+    nblocks = cp // P2.RATE
+    ext_rc = ext_rc_ref[:, :]
+    int_rc = int_rc_ref[:, :]
+    mu = mu_ref[:, :]
+    state = jnp.zeros((P2.WIDTH, 8, 128), _U32)
+
+    def absorb(b, st):
+        blk = in_ref[0, pl.ds(b * P2.RATE, P2.RATE)]  # (16, 8, 128)
+        top = F.add(st[: P2.RATE], blk)
+        return _permute_v2(jnp.concatenate([top, st[P2.RATE :]], axis=0),
+                           ext_rc, int_rc, mu)
+
+    state = jax.lax.fori_loop(0, nblocks, absorb, state)
+    out_ref[0] = state[: P2.DIGEST_WORDS]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sponge_v2(mat4, interpret=False):
+    """Sponge over (G, Cp, 8, 128): lane (g, s, l) = hash g*1024+s*128+l.
+
+    Returns digests (G, 8, 8, 128).
+    """
+    g, cp = mat4.shape[:2]
+    ext_rc, int_rc, mu = _v2_consts()
+    const4 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _sponge_kernel_v2,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, cp, 8, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const4(ext_rc.shape), const4(int_rc.shape),
+                  const4(mu.shape)],
+        out_specs=pl.BlockSpec((1, P2.DIGEST_WORDS, 8, 128),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, P2.DIGEST_WORDS, 8, 128), _U32),
+        interpret=interpret,
+    )(mat4, jnp.asarray(ext_rc), jnp.asarray(int_rc), jnp.asarray(mu))
+
+
+def _lanes_of(mat_t):
+    """(Cp, N) -> (G, Cp, 8, 128) lane layout (one HBM transpose)."""
+    cp, n = mat_t.shape
+    g = n // TILE_V2
+    return mat_t.reshape(cp, g, 8, 128).transpose(1, 0, 2, 3)
+
+
+def _digests_of(out4):
+    """(G, 8, 8, 128) -> (N, 8)."""
+    g = out4.shape[0]
+    return out4.transpose(0, 2, 3, 1).reshape(g * TILE_V2, P2.DIGEST_WORDS)
 
 
 @functools.lru_cache(maxsize=1)
 def enabled() -> bool:
-    """Use the kernel on real TPU backends (override: BT_P2_PALLAS=0/1)."""
+    """Opt-in (BT_P2_PALLAS=1): on this TPU relay a Mosaic kernel's first
+    execution pays a ~10-minute server-side compile per process that no
+    cache captures (measured: compile 2.4 s, run1 597 s, run2 0.03 s), so
+    the default hot path is the pure-XLA cells sponge
+    (`poseidon2.hash_rows_cells`), which the local persistent cache makes
+    warm-start fast. Kernels kept for A/B measurement (docs/ROOFLINE.md)."""
     env = os.environ.get("BT_P2_PALLAS")
-    if env is not None:
-        return env not in ("0", "false", "")
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - backend probing
+    if env is None:
         return False
+    if env not in ("0", "false", ""):
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - backend probing
+            return False
+    return False
 
 
 def usable(n_rows: int) -> bool:
-    return enabled() and n_rows % TILE == 0 and n_rows >= TILE
+    # v2 (vreg-per-cell) only: small tree levels stay on the scanned jnp
+    # path, so enabling the kernels costs exactly one Mosaic program per
+    # (column-count) shape.
+    return enabled() and n_rows % TILE_V2 == 0 and n_rows >= TILE_V2

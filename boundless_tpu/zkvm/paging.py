@@ -155,6 +155,13 @@ def verify_path(page_idx: int, leaf: Digest, path: Sequence[Digest],
     return cur == tuple(root)
 
 
+def image_root(image) -> Digest:
+    """PageTree root of a program image's initial memory (byte-addr
+    keyed word store) — the genesis anchor for RAM continuity."""
+    return PageTree.from_words(
+        {a >> 2: int(v) for a, v in image.words.items()}).root()
+
+
 def apply_updates(root_pages: "PageTree", updates: Dict[int, List[int]]
                   ) -> Digest:
     """Pure helper: the root after replacing whole pages."""

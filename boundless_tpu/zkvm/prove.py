@@ -30,7 +30,22 @@ DEFAULT_PS = stark.ProofSystem(queries=100, fri_min_degree=256)
 # Small system for CI (fast compile/runtime; NOT production soundness).
 TEST_PS = stark.ProofSystem(queries=8, fri_min_degree=16)
 
-_AIR = Rv32imAir()
+_AIR = Rv32imAir()          # full RV32IM constraint system (576 cols)
+_AIR_I = Rv32imAir(False)   # RV32I variant (384 cols; no M machinery)
+_AIRS = {'rv32im': _AIR, 'rv32i': _AIR_I}
+
+
+def image_uses_m(image) -> bool:
+    '''True iff any decoded instruction word of the image is an
+    M-extension op (the AIR-variant choice is static per program;
+    decode_row tail element is the mext flag).'''
+    from .witness import decode_row
+
+    return any(decode_row(a, w)[-1] for a, w in image.words.items())
+
+
+def air_variant_of(image) -> str:
+    return 'rv32im' if image_uses_m(image) else 'rv32i'
 
 
 @dataclasses.dataclass
@@ -45,16 +60,20 @@ class SegmentReceipt:
     pub: dict  # canonical claim values (witness.SegmentWitness.pub)
     image_id: np.ndarray  # (8,) canonical u32 digest words
     po2: int
+    # AIR the proof was generated under: "rv32im" full / "rv32i" (no M
+    # machinery; 192 fewer committed columns). Both variants' lift
+    # programs are in the recursion allowed set.
+    variant: str = "rv32im"
 
 
 @functools.lru_cache(maxsize=None)
-def _prover(po2: int, ps: stark.ProofSystem):
-    return stark.make_prover(_AIR, po2, ps)
+def _prover(po2: int, ps: stark.ProofSystem, variant: str = "rv32im"):
+    return stark.make_prover(_AIRS[variant], po2, ps)
 
 
 @functools.lru_cache(maxsize=None)
-def _verifier(po2: int, ps: stark.ProofSystem):
-    return stark.make_verifier(_AIR, po2, ps)
+def _verifier(po2: int, ps: stark.ProofSystem, variant: str = "rv32im"):
+    return stark.make_verifier(_AIRS[variant], po2, ps)
 
 
 _IMAGE_CTRL_CACHE: dict = {}
@@ -76,28 +95,23 @@ def image_id_of(image: MemoryImage, po2: int,
     return _image_ctrl(image, po2, ps)[1]
 
 
-def _segment_image(image: MemoryImage, seg: Segment) -> MemoryImage:
-    """The memory table a segment is proven against: its own pre-memory.
+def mem_root(words: dict) -> tuple:
+    """Sparse page-tree root of a memory word store (byte-addr keyed).
 
     Cross-segment RAM continuity (reference continuations: risc0 claims
     chain MemoryImage Merkle roots, consumed at `prover/crates/workflow/
-    src/tasks/prove.rs:68-95`): segment k's image table IS the full word
-    store at its entry, so heap written in earlier segments is readable
-    (the AIR's first-access-must-match-image rule now refers to the
-    segment's own table). The resulting per-segment control root becomes
-    the claim's pre_mem_root; segment 0's table is the program image, so
-    genesis ties the memory chain to the program identity.
+    src/tasks/prove.rs:68-95`): claims carry pre/post PageTree roots
+    (zkvm/paging.py); the segment AIR binds touched-page pre/post words
+    as publics through the init/final LogUp ports, and the lift program
+    walks the tree in-circuit, so post_mem_root is DERIVED from the
+    proof, not witnessed. Every segment is proven against the one static
+    program image table (instruction fetch is Harvard: the decoded code
+    table in the ctrl group, root == image_id).
     """
-    if seg.index == 0 or seg.pre_mem == image.words:
-        return image
-    return MemoryImage(words=dict(seg.pre_mem), entry=image.entry)
+    from . import paging
 
-
-def mem_root(image: MemoryImage, words: dict, po2: int,
-             ps: stark.ProofSystem = DEFAULT_PS) -> np.ndarray:
-    """Control root of an arbitrary memory table (pre/post mem roots)."""
-    return image_id_of(MemoryImage(words=dict(words), entry=image.entry),
-                       po2, ps)
+    return paging.PageTree.from_words(
+        {a >> 2: v for a, v in words.items()}).root()
 
 
 def _gen_witness(image, seg):
@@ -117,18 +131,18 @@ def prove_segment(image: MemoryImage, seg: Segment,
                   ps: stark.ProofSystem = DEFAULT_PS) -> SegmentReceipt:
     """Generate the witness and prove one segment (jitted XLA program).
 
-    The receipt's image_id is the control root of this segment's OWN
-    memory table (see _segment_image) — for segment 0 that equals the
-    program image id.
+    The receipt's image_id is the program's control root (the static
+    image table; one table serves every segment — data-memory continuity
+    rides the paging-port publics + PageTree roots, see mem_root).
     """
-    seg_image = _segment_image(image, seg)
-    w = _gen_witness(seg_image, seg)
-    data = F.fp(w.data)
-    ctrl, image_id = _image_ctrl(seg_image, seg.po2, ps)
+    variant = air_variant_of(image)
+    w = _gen_witness(image, seg)
+    data = F.fp(witness.data_for_variant(w.data, variant))
+    ctrl, image_id = _image_ctrl(image, seg.po2, ps)
     pub = witness.to_public_values(w.pub)
-    proof = _prover(seg.po2, ps)(data, pub, ctrl)
+    proof = _prover(seg.po2, ps, variant)(data, pub, ctrl)
     return SegmentReceipt(proof=proof, pub=w.pub, image_id=image_id,
-                          po2=seg.po2)
+                          po2=seg.po2, variant=variant)
 
 
 def dev_receipt(image: MemoryImage, seg: Segment,
@@ -136,11 +150,10 @@ def dev_receipt(image: MemoryImage, seg: Segment,
     """Dev-mode fake receipt (reference `RISC0_DEV_MODE=true`,
     SURVEY.md §4): real witness/public values and image id, no proof.
     Instant, NOT sound — test/development fixture only."""
-    seg_image = _segment_image(image, seg)
-    w = _gen_witness(seg_image, seg)
-    _, image_id = _image_ctrl(seg_image, seg.po2, ps)
+    w = _gen_witness(image, seg)
+    _, image_id = _image_ctrl(image, seg.po2, ps)
     return SegmentReceipt(proof=None, pub=w.pub, image_id=image_id,
-                          po2=seg.po2)
+                          po2=seg.po2, variant=air_variant_of(image))
 
 
 def verify_segment(receipt: SegmentReceipt,
@@ -148,5 +161,7 @@ def verify_segment(receipt: SegmentReceipt,
     """Verify a SegmentReceipt against its claimed image id."""
     pub = witness.to_public_values(receipt.pub)
     control_root = F.fp(np.asarray(receipt.image_id, dtype=np.int64))
-    ok = _verifier(receipt.po2, ps)(receipt.proof, pub, control_root)
+    variant = getattr(receipt, "variant", "rv32im") or "rv32im"
+    ok = _verifier(receipt.po2, ps, variant)(receipt.proof, pub,
+                                             control_root)
     return bool(ok)

@@ -17,7 +17,8 @@ import dataclasses
 
 import numpy as np
 
-from ..air.rv32im import DC, CC, TAG, IO_MAX, PublicValues
+from ..air.rv32im import (DC, CC, TAG, IO_MAX, MEM_PAGES, PAGE_WORDS,
+                          MEM_PAGE_ELEMS, PublicValues)
 from ..core import field as F
 from . import isa
 from .executor import Segment, MemoryImage, GuestFault, M32
@@ -139,6 +140,18 @@ class SegmentWitness:
 
 def _bits(v, n=32):
     return [(v >> i) & 1 for i in range(n)]
+
+
+def data_for_variant(data, variant: str):
+    """Full-layout (N, 576) witness -> the variant's committed columns.
+
+    The RV32I layout is a strict prefix of the RV32IM layout (air DC /
+    DC_I), so the conversion is a plain truncation."""
+    from ..air.rv32im import DC_I
+
+    if variant == "rv32im":
+        return data
+    return data[:, : DC_I.total]
 
 
 def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
@@ -324,17 +337,14 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
                 if f3 == 2:
                     merged = rs2v
                 else:
-                    old = mem.get(base, None)
-                    if old is None:
-                        raise GuestFault(
-                            "sub-word store needs the old word (first "
-                            "access to a non-image word must be a full-"
-                            "word write)")
+                    # missing words read as zero (defined semantics;
+                    # the paging-port publics bind the pre value)
+                    old = mem.get(base, 0)
                     row[DC.b_bits.start : DC.b_bits.stop] = _bits(old)
                     if f3 == 0:
                         mask = 0xFF << (8 * off)
                         merged = (old & ~mask) | ((rs2v & 0xFF) << (8 * off))
-                        row[DC.m_hi_bits.start : DC.m_hi_bits.start + 8] = \
+                        row[DC.q8.start : DC.q8.stop] = \
                             _bits((rs2v >> 8) & 0xFF, 8)
                     else:
                         mask = 0xFFFF << (8 * off)
@@ -584,9 +594,11 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         t = addr_to_trow[int(data[clk, DC.pc]) & ~3]
         data[t, DC.mult_fetch] += 1
 
-    # sorted memory log + init multiplicities
+    # sorted memory log + paging-port columns
     mem_ops.sort(key=lambda t: (t[1], t[0]))
     assert len(mem_ops) <= n, "too many memory ops for trace length"
+    pre_val = {}  # word addr -> segment-entry value
+    final_val = {}  # word addr -> last logged value
     prev_addr = None
     for i, (clk, waddr, is_w, val) in enumerate(mem_ops):
         data[i, DC.s_active] = 1
@@ -597,18 +609,49 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         data[i, DC.s_val.start + 1] = val >> 16
         new = 1 if waddr != prev_addr else 0
         data[i, DC.s_new] = new
+        if new:
+            pv = int(seg.pre_mem.get(waddr << 2, 0))
+            pre_val[waddr] = pv
+            if not is_w and pv != val:
+                raise GuestFault("init read does not match pre-memory")
+        data[i, DC.s_pre_val.start] = pre_val[waddr] & 0xFFFF
+        data[i, DC.s_pre_val.start + 1] = pre_val[waddr] >> 16
         if i > 0 and data[i - 1, DC.s_active]:
             d = (waddr - int(data[i - 1, DC.s_addr])) if new else (
                 clk - int(data[i - 1, DC.s_clk]))
             assert d >= 1
             data[i, DC.s_dbits.start : DC.s_dbits.stop] = _bits(d - 1, 26)
-        if new and not is_w:
-            byte_addr = waddr << 2
-            trow = addr_to_trow.get(byte_addr)
-            if trow is None or (image.words[byte_addr] != val):
-                raise GuestFault("init read does not match image")
-            data[trow, DC.mult_init] += 1
+        if i > 0 and data[i, DC.s_new]:
+            data[i - 1, DC.s_last] = 1
+        final_val[waddr] = val
         prev_addr = waddr
+    if mem_ops:
+        data[len(mem_ops) - 1, DC.s_last] = 1
+
+    # paging-port public pages (pre/post words of every touched page)
+    mem_pub = np.zeros((MEM_PAGES, MEM_PAGE_ELEMS), dtype=np.int64)
+    pages = sorted({waddr // PAGE_WORDS for waddr in pre_val})
+    assert len(pages) <= MEM_PAGES, "too many touched pages in one segment"
+    for e, pg in enumerate(pages):
+        mem_pub[e, 0] = pg
+        mem_pub[e, 1] = 1
+        for w in range(PAGE_WORDS):
+            waddr = pg * PAGE_WORDS + w
+            base = 2 + 5 * w
+            if waddr in pre_val:
+                pre = pre_val[waddr]
+                post = final_val[waddr]
+                mem_pub[e, base] = 1
+                mem_pub[e, base + 1] = pre & 0xFFFF
+                mem_pub[e, base + 2] = pre >> 16
+                mem_pub[e, base + 3] = post & 0xFFFF
+                mem_pub[e, base + 4] = post >> 16
+            else:
+                v = int(seg.pre_mem.get(waddr << 2, 0))
+                mem_pub[e, base + 1] = v & 0xFFFF
+                mem_pub[e, base + 2] = v >> 16
+                mem_pub[e, base + 3] = v & 0xFFFF
+                mem_pub[e, base + 4] = v >> 16
 
     # public values
     io = np.zeros((IO_MAX, 5), dtype=np.int64)
@@ -625,6 +668,7 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         post_seqs=np.asarray([seqs["commit"], seqs["read"], seqs["verify"]],
                              dtype=np.int64),
         io=io,
+        mem=mem_pub,
     )
     return SegmentWitness(data=data, ctrl=ctrl, pub=pub)
 
@@ -657,6 +701,7 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
         DC.commit_seq, DC.read_seq, DC.verify_seq, DC.active, DC.halted,
         DC.is_m, DC.is_shift_col, DC.is_slt_col, DC.is_logic_col,
         DC.m_hi_bits.start,
+        DC.q8.start,
         DC.m_carry_bits.start, DC.m_rem_bits.start, DC.m_d_bits.start,
         DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero, DC.m_binv,
         DC.m_s_bits.start, DC.m_g, DC.m_g2,
@@ -739,4 +784,5 @@ def to_public_values(pub: dict) -> PublicValues:
         pre_seqs=F.fp(pub["pre_seqs"]),
         post_seqs=F.fp(pub["post_seqs"]),
         io=F.fp(pub["io"]),
+        mem=F.fp(pub["mem"]),
     )

@@ -47,7 +47,7 @@ def main():
     for seg in res.segments:
         t0 = time.time()
         sr = prove.prove_segment(image, seg, ps=ps)
-        receipts.append(rec.lift(sr, ps=ps))
+        receipts.append(rec.lift(sr, ps=ps, pre_mem=seg.pre_mem))
         print(f"  segment {seg.index}: {seg.cycles} cycles proved in "
               f"{time.time()-t0:.2f}s")
 

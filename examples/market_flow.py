@@ -44,7 +44,7 @@ def main():
                 res = Executor(image, input_data, segment_po2=8).run()
                 receipts = [rec.lift(prove.prove_segment(image, s,
                                                          ps=prove.TEST_PS),
-                                     ps=prove.TEST_PS)
+                                     ps=prove.TEST_PS, pre_mem=s.pre_mem)
                             for s in res.segments]
                 root = receipts[0]
                 for r in receipts[1:]:

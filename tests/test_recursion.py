@@ -27,7 +27,7 @@ def test_multi_segment_lift_join_finalize():
     res = run_session(guests.loop_guest(), guests.words([iters]))
     assert len(res.segments) >= 2
     lifted = [rec.lift(prove.prove_segment(guests.loop_guest(), s, ps=PS),
-                       ps=PS) for s in res.segments]
+                       ps=PS, pre_mem=s.pre_mem) for s in res.segments]
     root = lifted[0]
     for r in lifted[1:]:
         root = rec.join(root, r)
@@ -45,7 +45,8 @@ def test_join_rejects_discontinuity():
     res = run_session(guests.loop_guest(), guests.words([400]))
     assert len(res.segments) >= 2
     a = rec.lift(prove.prove_segment(guests.loop_guest(), res.segments[0],
-                                     ps=PS), ps=PS)
+                                     ps=PS), ps=PS,
+                 pre_mem=res.segments[0].pre_mem)
     with pytest.raises(rec.RecursionError):
         rec.join(a, a)  # same span twice: state discontinuity
 
@@ -58,12 +59,13 @@ def test_composition_resolve():
     echo_res = run_session(guests.echo(), guests.words([1] + payload))
     echo_lift = rec.lift(prove.prove_segment(guests.echo(),
                                              echo_res.segments[0], ps=PS),
-                         ps=PS)
+                         ps=PS, pre_mem=echo_res.segments[0].pre_mem)
     digest = echo_lift.claim_digest()
     dw = [int.from_bytes(digest[i:i+4], "little") for i in range(0, 32, 4)]
     id_res = run_session(guests.identity(), guests.words(dw))
     id_lift = rec.lift(prove.prove_segment(guests.identity(),
-                                           id_res.segments[0], ps=PS), ps=PS)
+                                           id_res.segments[0], ps=PS), ps=PS,
+                       pre_mem=id_res.segments[0].pre_mem)
     assert id_lift.claim.assumption_digests() == [digest]
     # unresolved conditional receipts do not verify
     assert not rec.verify_succinct(id_lift, PS)

@@ -123,8 +123,13 @@ def _run_prog(prog, inputs, pub_vals):
 
 def test_lift_program_accepts_and_derives_claim(echo_receipt, lift_prog):
     r = echo_receipt
-    claim = claims.Claim.of_segment(r.image_id, r.pub)
-    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS)
+    pre_mem = dict(guests.echo().words)
+    pre_root, post_root, _ = succinct.paging_walk(r.pub, pre_mem)
+    claim = claims.Claim.of_segment(r.image_id, r.pub,
+                                    pre_mem_root=pre_root,
+                                    post_mem_root=post_root)
+    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
+                                pre_mem=pre_mem)
     pub_vals = list(claim.digest()) + [0] * 16
     _run_prog(lift_prog, wit, pub_vals)
     # echo's journal chain is the fold of its committed words
@@ -136,8 +141,13 @@ def test_lift_program_accepts_and_derives_claim(echo_receipt, lift_prog):
 
 def test_lift_program_rejects_wrong_claim(echo_receipt, lift_prog):
     r = echo_receipt
-    claim = claims.Claim.of_segment(r.image_id, r.pub)
-    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS)
+    pre_mem = dict(guests.echo().words)
+    pre_root, post_root, _ = succinct.paging_walk(r.pub, pre_mem)
+    claim = claims.Claim.of_segment(r.image_id, r.pub,
+                                    pre_mem_root=pre_root,
+                                    post_mem_root=post_root)
+    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
+                                pre_mem=pre_mem)
     bad = list(claim.digest())
     bad[0] ^= 1
     with pytest.raises(vm.EvalError):
@@ -146,8 +156,13 @@ def test_lift_program_rejects_wrong_claim(echo_receipt, lift_prog):
 
 def test_lift_program_rejects_tampered_proof(echo_receipt, lift_prog):
     r = echo_receipt
-    claim = claims.Claim.of_segment(r.image_id, r.pub)
-    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS)
+    pre_mem = dict(guests.echo().words)
+    pre_root, post_root, _ = succinct.paging_walk(r.pub, pre_mem)
+    claim = claims.Claim.of_segment(r.image_id, r.pub,
+                                    pre_mem_root=pre_root,
+                                    post_mem_root=post_root)
+    wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
+                                pre_mem=pre_mem)
     pub_vals = list(claim.digest()) + [0] * 16
     rng = np.random.default_rng(1)
     for k in sorted(rng.choice(len(wit), size=4, replace=False)):
@@ -183,8 +198,13 @@ def test_lift_program_rejects_forged_io_order(lift_prog):
         proof, witness.to_public_values(w.pub),
         F.fp(np.asarray(image_id, dtype=np.int64))))
     # ...but the lift program rejects it (seq out of order)
-    forged = claims.Claim.of_segment(image_id, w.pub)
-    wit = succinct.lift_witness(w.pub, proof, SEG_PO2, SEG_PS)
+    pre_mem = dict(guests.echo().words)
+    pre_root, post_root, _ = succinct.paging_walk(w.pub, pre_mem)
+    forged = claims.Claim.of_segment(image_id, w.pub,
+                                     pre_mem_root=pre_root,
+                                     post_mem_root=post_root)
+    wit = succinct.lift_witness(w.pub, proof, SEG_PO2, SEG_PS,
+                                pre_mem=pre_mem)
     with pytest.raises(vm.EvalError):
         vm.evaluate_auto(lift_prog, wit, list(forged.digest()) + [0] * 16)
 
