@@ -7,6 +7,7 @@ ranking identifies the hot spots.
 """
 import os, time, json
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("BT_P2_PALLAS", "1")
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/bt_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -37,12 +38,14 @@ def main():
     ex = Executor(image, guests.words([iters]), segment_po2=PO2)
     seg = ex.run().segments[0]
     t0 = time.time()
-    w = witness.trace_segment(image, seg, PO2)
-    print(f"{'witness_gen (host)':28s} {(time.time()-t0)*1000:10.1f} ms")
-    data = F.fp(w.data)
+    w = witness.trace_segment_native(image, seg, PO2)
+    print(f"{'witness_gen (native)':28s} {(time.time()-t0)*1000:10.1f} ms")
+    variant = prove.air_variant_of(image)
+    air = prove._AIRS[variant]
+    data = F.fp(witness.data_for_variant(w.data, variant))
     ctrl, _ = prove._image_ctrl(image, PO2)
     pub = witness.to_public_values(w.pub)
-    air = prove._AIR
+    print("variant:", variant)
     n = 1 << PO2
     print(f"data cols={data.shape[1]} ctrl cols={ctrl.shape[1]} n={n} commit_expand={PS.commit_expand}")
 

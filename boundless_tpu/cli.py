@@ -94,16 +94,17 @@ def cmd_prover_audit_degrees(args):
     pub = R.PublicValues(
         pre_pc=rf(()), post_pc=rf(()), pre_regs=rf((64,)),
         post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((3,)),
-        post_seqs=rf((3,)), io=rf((R.IO_MAX, 5)))
-    air = R.Rv32imAir()
-    degs = DA.assert_degrees(air, pub, po2=args.po2)
-    n = 1 << args.po2
-    worst = max(d.degree for d in degs)
-    print(json.dumps(dict(
-        air=air.name, constraints=len(degs), po2=args.po2,
-        worst_degree=worst, worst_mult=round(worst / (n - 1), 3),
-        declared=air.max_degree, budget=DA.degree_budget(args.po2),
-        ok=True)))
+        post_seqs=rf((3,)), io=rf((R.IO_MAX, 5)),
+        mem=rf((R.MEM_PAGES, R.MEM_PAGE_ELEMS)))
+    for air in (R.Rv32imAir(), R.Rv32imAir(False)):
+        degs = DA.assert_degrees(air, pub, po2=args.po2)
+        n = 1 << args.po2
+        worst = max(d.degree for d in degs)
+        print(json.dumps(dict(
+            air=air.name, constraints=len(degs), po2=args.po2,
+            worst_degree=worst, worst_mult=round(worst / (n - 1), 3),
+            declared=air.max_degree, budget=DA.degree_budget(args.po2),
+            ok=True)))
 
 
 def cmd_cluster_serve(args):

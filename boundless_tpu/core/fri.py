@@ -110,7 +110,8 @@ def num_rounds(m: int, min_degree: int = FRI_MIN_DEGREE,
 
 
 def prove(tr: Transcript, evals, queries: int = QUERIES,
-          min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE):
+          min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE,
+          suite=None):
     """FRI-prove that `evals` ((M,4) ext, on GENERATOR*H_M) has degree
     < M/inv_rate.
 
@@ -122,8 +123,12 @@ def prove(tr: Transcript, evals, queries: int = QUERIES,
     trees = []
     cur = evals
     cur_m, cur_shift = m, shift
+    if suite is None:
+        from . import suites
+
+        suite = suites.get("poseidon2")
     for _ in range(num_rounds(m, min_degree, inv_rate)):
-        tree = merkle.commit(_group_matrix(cur, cur_m))
+        tree = suite.commit(_group_matrix(cur, cur_m))
         trees.append(tree)
         tr.mix_digest(tree.root)
         alpha = tr.sample_ext()
@@ -162,7 +167,8 @@ def prove(tr: Transcript, evals, queries: int = QUERIES,
 
 
 def verify(tr: Transcript, proof: FriProof, m: int, queries: int = QUERIES,
-           min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE):
+           min_degree: int = FRI_MIN_DEGREE, inv_rate: int = INV_RATE,
+           suite=None):
     """Replay the transcript and check the FRI proof.
 
     Returns (ok, indices, round0_values) where round0_values[(q,)] is the
@@ -170,6 +176,10 @@ def verify(tr: Transcript, proof: FriProof, m: int, queries: int = QUERIES,
     caller (DEEP-ALI verifier) must check these against values it derives
     from the trace openings.
     """
+    if suite is None:
+        from . import suites
+
+        suite = suites.get("poseidon2")
     rounds = num_rounds(m, min_degree, inv_rate)
     assert len(proof.round_roots) == rounds
     alphas = []
@@ -190,8 +200,8 @@ def verify(tr: Transcript, proof: FriProof, m: int, queries: int = QUERIES,
         r = jnp.mod(idx, rows_n)
         t_pos = idx // rows_n  # which of the 16 group slots is our point
         rows = proof.round_rows[k]  # (Q, 64)
-        ok = ok & jnp.all(merkle.verify_rows(proof.round_roots[k], r, rows,
-                                             proof.round_paths[k]))
+        ok = ok & jnp.all(suite.verify_rows(proof.round_roots[k], r, rows,
+                                            proof.round_paths[k]))
         group = rows.reshape(-1, FRI_FOLD, 4)  # (Q, 16, 4)
         mine = jnp.take_along_axis(group, t_pos[:, None, None], axis=1)[:, 0]
         if value is None:

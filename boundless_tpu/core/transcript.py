@@ -40,6 +40,20 @@ class Transcript:
         """Absorb a flat vector of field elements via its sponge hash."""
         self.mix_digest(P2.hash_elems(elems.reshape(-1)))
 
+    def mix_pub(self, pub):
+        """Absorb a public-values pytree (canonical binding digest;
+        bit-identical to the pre-suite `mix_digest(pub_digest_of(pub))`
+        transcript)."""
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(pub)
+        if not leaves:
+            self.mix_digest(jnp.zeros((8,), dtype=jnp.uint32))
+            return
+        flat = jnp.concatenate([jnp.ravel(x).astype(jnp.uint32)
+                                for x in leaves])
+        self.mix_digest(P2.hash_elems(flat))
+
     def sample_elem(self):
         if self._pool >= P2.RATE:
             self.state = P2.permute(self.state)

@@ -66,6 +66,15 @@ class ProofSystem:
     queries: int = 100
     fri_min_degree: int = 256
     commit_expand: int = 2  # 2 = rate 1/2, 4 = rate 1/4 (reference-shaped)
+    # Merkle/Fiat-Shamir hash suite (core/suites.py): "poseidon2" (Baby
+    # Bear, default) or "poseidon254" (BN254-native; the Groth16-facing
+    # identity_p254 final-shrink proof only)
+    hash: str = "poseidon2"
+
+    def suite(self):
+        from ..core import suites
+
+        return suites.get(self.hash)
 
 
 class GroupOpening(NamedTuple):
@@ -96,7 +105,7 @@ class SegmentProof(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _lde_commit(trace, commit_expand: int = INV_RATE):
+def _lde_commit(trace, commit_expand: int = INV_RATE, suite=None):
     """trace (N, C) on H_N -> (coeffs (N, C), eval4 (4N, C), commit tree).
 
     eval4 lives on the 4N constraint-evaluation grid; the Merkle tree
@@ -107,7 +116,9 @@ def _lde_commit(trace, commit_expand: int = INV_RATE):
     evals = NTT.coset_evaluate(coeffs, expand=INV_RATE)
     step = INV_RATE // commit_expand
     cevals = evals if step == 1 else evals[::step]
-    return coeffs, evals, merkle.commit(cevals)
+    tree = (merkle.commit(cevals) if suite is None
+            else suite.commit(cevals))
+    return coeffs, evals, tree
 
 
 # Constraint values: base arrays ((M,) pointwise / (4,)-ext at DEEP) or
@@ -314,8 +325,9 @@ def prove(air: Air, data_trace, pub, po2: int,
     n = 1 << po2
     assert data_trace.shape == (n, air.data_cols)
 
-    tr = Transcript()
-    tr.mix_digest(pub_digest_of(pub))
+    suite = ps.suite()
+    tr = suite.transcript()
+    tr.mix_pub(pub)
 
     # --- commit ctrl (circuit-static) and data ---
     has_ctrl = air.ctrl_cols > 0
@@ -326,10 +338,10 @@ def prove(air: Air, data_trace, pub, po2: int,
         ctrl_trace = air.ctrl_trace(n)
     if has_ctrl:
         ctrl_coeffs, ctrl_evals, ctrl_tree = _lde_commit(
-            ctrl_trace, ps.commit_expand)
+            ctrl_trace, ps.commit_expand, suite)
         tr.mix_digest(ctrl_tree.root)
     data_coeffs, data_evals, data_tree = _lde_commit(
-        data_trace, ps.commit_expand)
+        data_trace, ps.commit_expand, suite)
     tr.mix_digest(data_tree.root)
 
     # --- phase 2: mix challenges + accumulators ---
@@ -338,7 +350,7 @@ def prove(air: Air, data_trace, pub, po2: int,
     if has_accum:
         accum_trace = air.accum_trace(ctrl_trace, data_trace, globals_)
         accum_coeffs, accum_evals, accum_tree = _lde_commit(
-            accum_trace, ps.commit_expand)
+            accum_trace, ps.commit_expand, suite)
         tr.mix_digest(accum_tree.root)
 
     alpha = tr.sample_ext()
@@ -371,7 +383,7 @@ def prove(air: Air, data_trace, pub, po2: int,
         [q_coeffs[i::CHECK_SPLIT] for i in range(CHECK_SPLIT)], axis=1
     )  # (N, 16): col i*4+c = component c of Q_i
     check_evals = NTT.coset_evaluate(check_coeffs, expand=ps.commit_expand)
-    check_tree = merkle.commit(check_evals)
+    check_tree = suite.commit(check_evals)
     tr.mix_digest(check_tree.root)
 
     # --- DEEP taps ---
@@ -407,7 +419,7 @@ def prove(air: Air, data_trace, pub, po2: int,
     # --- FRI ---
     fri_proof, indices = fri.prove(tr, combo, queries=ps.queries,
                                    min_degree=ps.fri_min_degree,
-                                   inv_rate=ps.commit_expand)
+                                   inv_rate=ps.commit_expand, suite=suite)
 
     def open_group(tree):
         rows, paths = merkle.open_rows(tree, indices)
@@ -525,8 +537,9 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     has_ctrl = air.ctrl_cols > 0
     has_accum = air.accum_cols > 0
 
-    tr = Transcript()
-    tr.mix_digest(pub_digest_of(pub))
+    suite = ps.suite()
+    tr = suite.transcript()
+    tr.mix_pub(pub)
     if has_ctrl:
         assert control_root is not None
         tr.mix_digest(control_root)
@@ -570,7 +583,8 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     fri_ok, indices, round0 = fri.verify(tr, proof.fri_proof, big,
                                          queries=ps.queries,
                                          min_degree=ps.fri_min_degree,
-                                         inv_rate=ps.commit_expand)
+                                         inv_rate=ps.commit_expand,
+                                         suite=suite)
     ok = ok & fri_ok
 
     roots_openings = [(proof.check_root, proof.open_check)]
@@ -580,8 +594,8 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
     if has_accum:
         roots_openings.append((proof.accum_root, proof.open_accum))
     for root, opening in roots_openings:
-        ok = ok & jnp.all(merkle.verify_rows(root, indices, opening.rows,
-                                             opening.paths))
+        ok = ok & jnp.all(suite.verify_rows(root, indices, opening.rows,
+                                            opening.paths))
 
     # Recompute combo at the query points from the opened rows
     # (order must match the prover: ctrl, data, accum).
@@ -672,10 +686,12 @@ def control_root_of(air: Air, po2: int, ctrl_trace=None,
     """
     n = 1 << po2
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def _root(ct, expand):
-        return _lde_commit(ct, expand)[2].root
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _root(ct, expand, hashname):
+        from ..core import suites
+
+        return _lde_commit(ct, expand, suites.get(hashname))[2].root
 
     if ctrl_trace is None:
         ctrl_trace = air.ctrl_trace(n)
-    return _root(ctrl_trace, ps.commit_expand)
+    return _root(ctrl_trace, ps.commit_expand, ps.hash)
