@@ -58,12 +58,30 @@ class ClusterContext:
     ps: stark.ProofSystem = zprove.DEFAULT_PS
     segment_po2: int = 14
     exec_cycle_limit: int = 100_000 * (1 << 20)  # reference default
-    succinct: Optional[object] = None
+    # "real" (default): the succinct recursion system, built lazily on
+    # first use from (segment_po2, ps) — serving produces constant-size
+    # RecReceipts out of the box (reference clusters always lift+join,
+    # prove.rs:68-95). Pass succinct=None explicitly for the legacy v1
+    # aggregation layer, or a DevModeSystem for fake receipts.
+    succinct: Optional[object] = "real"
     dev_mode: bool = False
+    coproc_po2: int = 8  # keccak batch segment size (10 perms at 2^8)
 
     def __post_init__(self):
         if self.dev_mode and not hasattr(self.succinct, "DEV_ROOT"):
             raise ValueError("dev_mode requires succinct=DevModeSystem")
+
+    def succinct_sys(self):
+        """The recursion system, resolving the lazy "real" default
+        (program construction + control-id derivation happen once)."""
+        if self.succinct == "real":
+            from ..recursion import succinct as S
+
+            rec_po2 = 20 if self.ps.queries >= 50 else 17
+            self.succinct = S.get_system(S.SuccinctParams(
+                seg_po2=self.segment_po2, seg_ps=self.ps,
+                rec_po2=rec_po2, rec_ps=self.ps))
+        return self.succinct
 
 
 class Agent:
@@ -161,7 +179,7 @@ class Agent:
         planner = Planner()
         tid_of = {}
         chain_meta = None
-        if self.ctx.succinct is not None:
+        if self.ctx.succinct_sys() is not None:
             # Per-segment pre-chains: prefix folds of the session word
             # streams at each segment's pre_seqs (recursion/claims.py).
             chain_meta = _segment_pre_chains(ex, result)
@@ -170,6 +188,20 @@ class Agent:
             self.ctx.hot.set(hs.segment_key(job, seg.index), seg)
             planner.enqueue_segment(seg.index)
             self._emit_ready(job, planner, tid_of, d, chain_meta)
+        # coprocessor stream: batch the session's keccak permutations and
+        # drive the union tree (reference executor.rs:614-676)
+        if ex.keccak_states:
+            from ..air.keccak import max_perms
+
+            batch = max(1, max_perms(self.ctx.coproc_po2))
+            states = ex.keccak_states
+            d = dict(d, keccak_claims=[c.hex() for c in ex.keccak_claims])
+            for b in range(0, len(states), batch):
+                idx = b // batch
+                self.ctx.hot.set(hs.coproc_state_key(job, idx),
+                                 states[b : b + batch])
+                planner.enqueue_keccak(idx)
+                self._emit_ready(job, planner, tid_of, d, chain_meta)
         fin = planner.finish()
         self._emit_ready(job, planner, tid_of, d, chain_meta)
         return dict(total_cycles=result.total_cycles,
@@ -202,14 +234,14 @@ class Agent:
                                         dict(kind="union", deps=deps,
                                              out=name), deps)
             elif cmd.kind == Kind.FINALIZE:
-                # resolve (if assumptions) then finalize, on join/aux
-                self.ctx.db.create_task(job, "resolve", "join",
-                                        dict(kind="resolve",
-                                             root=tid_of[cmd.deps[0]],
-                                             assumptions=d.get(
-                                                 "assumptions", []),
-                                             **_fwd(d)),
-                                        deps)
+                # resolve (if assumptions/coproc) then finalize
+                rdef = dict(kind="resolve", root=tid_of[cmd.deps[0]],
+                            assumptions=d.get("assumptions", []),
+                            keccak_claims=d.get("keccak_claims", []),
+                            **_fwd(d))
+                if len(cmd.deps) > 1:
+                    rdef["coproc_root"] = tid_of[cmd.deps[1]]
+                self.ctx.db.create_task(job, "resolve", "join", rdef, deps)
                 self.ctx.db.create_task(job, "finalize", "aux",
                                         dict(kind="finalize", **_fwd(d)),
                                         ["resolve"])
@@ -230,9 +262,9 @@ class Agent:
         # the segment's entry memory and its public page updates; in the
         # succinct path the lift program derives the post root IN-CIRCUIT
         # (recursion/succinct.py; reference prove.rs:68-95 lift claims)
-        if self.ctx.succinct is not None:
+        if self.ctx.succinct_sys() is not None:
             pre_chains = _decode_chains(d["pre_chains"])
-            lifted = self.ctx.succinct.lift(sr, pre_chains,
+            lifted = self.ctx.succinct_sys().lift(sr, pre_chains,
                                             pre_mem=seg.pre_mem)
             claim_hex = claims.digest_bytes(lifted.claim.digest()).hex()
         else:
@@ -249,23 +281,49 @@ class Agent:
         right = self.ctx.hot.get(hs.recursion_receipt_key(job, d["deps"][1]))
         if left is None or right is None:
             raise RuntimeError("join inputs missing from hot store")
-        if self.ctx.succinct is not None:
-            if d["kind"] != "join":
-                raise RuntimeError(
-                    "succinct union: keccak circuit staged for a later round")
-            joined = self.ctx.succinct.join(left, right)
+        if self.ctx.succinct_sys() is not None:
+            joined = self.ctx.succinct_sys().join(left, right)
             claim_hex = claims.digest_bytes(joined.claim.digest()).hex()
         else:
-            joined = rec.join(left, right) if d["kind"] == "join" else \
-                rec.union(left, right)
+            joined = rec.join(left, right)
             claim_hex = joined.claim_digest().hex()
         self.ctx.hot.set(hs.recursion_receipt_key(job, d["out"]), joined)
         return dict(claim=claim_hex), [
             hs.recursion_receipt_key(job, d["deps"][0]),
             hs.recursion_receipt_key(job, d["deps"][1])]
 
+    def _task_union(self, task):
+        """Pairwise union of coprocessor receipts (reference
+        union.rs:44; aggregation semantics — the succinct union program
+        is staged, docs/PROTOCOL.md)."""
+        from ..zkvm import coproc
+
+        d = task.definition
+        job = task.job_id
+        left = self.ctx.hot.get(hs.keccak_receipt_key(job, d["deps"][0]))
+        right = self.ctx.hot.get(hs.keccak_receipt_key(job, d["deps"][1]))
+        if left is None or right is None:
+            raise RuntimeError("union inputs missing from hot store")
+        u = coproc.union(left, right)
+        self.ctx.hot.set(hs.keccak_receipt_key(job, d["out"]), u)
+        return dict(digests=len(u.digests())), [
+            hs.keccak_receipt_key(job, d["deps"][0]),
+            hs.keccak_receipt_key(job, d["deps"][1])]
+
     def _task_keccak(self, task):
-        raise RuntimeError("keccak coprocessor: staged for a later round")
+        """Prove one keccak batch (reference keccak.rs:71-84)."""
+        from ..zkvm import coproc
+
+        d = task.definition
+        job = task.job_id
+        states = self.ctx.hot.get(hs.coproc_state_key(job, d["claim"]))
+        if states is None:
+            raise RuntimeError("keccak states missing from hot store")
+        r = coproc.prove_keccak(states, po2=self.ctx.coproc_po2,
+                                ps=self.ctx.ps,
+                                dev_mode=self.ctx.dev_mode)
+        self.ctx.hot.set(hs.keccak_receipt_key(job, d["out"]), r)
+        return dict(perms=r.count), [hs.coproc_state_key(job, d["claim"])]
 
     def _task_resolve(self, task):
         d = task.definition
@@ -273,7 +331,27 @@ class Agent:
         root = self.ctx.hot.get(hs.recursion_receipt_key(job, d["root"]))
         if root is None:
             raise RuntimeError("resolve: root receipt missing")
-        if self.ctx.succinct is not None:
+        # coprocessor merge (reference resolve.rs:63-100): the proven
+        # union must cover every keccak claim the guest ecalled, and the
+        # union's batch proofs must verify
+        if d.get("coproc_root"):
+            from ..zkvm import coproc
+
+            u = self.ctx.hot.get(hs.keccak_receipt_key(
+                job, d["coproc_root"]))
+            if u is None:
+                raise RuntimeError("resolve: coproc union receipt missing")
+            if not coproc.verify_union(u, self.ctx.ps,
+                                       dev_mode=self.ctx.dev_mode):
+                raise RuntimeError("resolve: coproc union failed to verify")
+            proven = set(x.hex() for x in u.digests())
+            missing = [h for h in d.get("keccak_claims", [])
+                       if h not in proven]
+            if missing:
+                raise RuntimeError(
+                    f"resolve: {len(missing)} keccak claims unproven")
+            self.ctx.store.put("receipts/coproc", job, u)
+        if self.ctx.succinct_sys() is not None:
             resolved = self._succinct_resolve(root, d)
             claim_hex = claims.digest_bytes(resolved.claim.digest()).hex()
         else:
@@ -309,7 +387,7 @@ class Agent:
                 raise RuntimeError(
                     "resolve: no receipt for assumption "
                     f"{claims.digest_bytes(dt).hex()[:16]}")
-            cur = self.ctx.succinct.resolve(cur, a, prev)
+            cur = self.ctx.succinct_sys().resolve(cur, a, prev)
         return cur
 
     # --- finalize ------------------------------------------------------
@@ -320,7 +398,7 @@ class Agent:
         if root is None:
             raise RuntimeError("finalize: resolved receipt missing")
         image = self.ctx.store.get("elfs", d["image_id"])
-        if self.ctx.succinct is not None:
+        if self.ctx.succinct_sys() is not None:
             stats = self.ctx.hot.get(hs.exec_stats_key(job)) or {}
             jb = stats.get("journal", b"")
             words = [int.from_bytes(jb[i : i + 4], "little")
@@ -331,7 +409,7 @@ class Agent:
             session = succinct.finalize_session(root, words,
                                                 entry_pc=image.entry,
                                                 image_mem_root=mem_anchor)
-            if not succinct.verify_session(session, self.ctx.succinct,
+            if not succinct.verify_session(session, self.ctx.succinct_sys(),
                                            expected_mem_root=mem_anchor):
                 raise RuntimeError(
                     "finalize: session receipt failed verification")
@@ -361,7 +439,7 @@ class Agent:
         if session is None:
             raise RuntimeError("snark: missing stark receipt")
         wrapped = g16wrap.compress(session, kind=d.get("compress", "groth16"),
-                                   system=self.ctx.succinct)
+                                   system=self.ctx.succinct_sys())
         bucket = ("receipts/groth16" if d.get("compress") != "blake3_groth16"
                   else "receipts/blake3_groth16")
         self.ctx.store.put(bucket, task.job_id, wrapped)

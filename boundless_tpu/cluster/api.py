@@ -131,7 +131,7 @@ class ClusterApi:
                            fri_min_degree=ps.fri_min_degree,
                            commit_expand=ps.commit_expand),
                    succinct=None)
-        s = self.ctx.succinct
+        s = self.ctx.succinct_sys()
         if s is not None:
             if hasattr(s, "DEV_ROOT"):
                 out["succinct"] = "dev"

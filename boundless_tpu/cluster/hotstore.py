@@ -71,6 +71,10 @@ def keccak_receipt_key(job_id, idx):
     return f"job:{job_id}:keccak_receipts:{idx}"
 
 
+def coproc_state_key(job_id, idx):
+    return f"job:{job_id}:coproc:{idx}"
+
+
 def receipt_key(claim_digest_hex):
     return f"receipts:{claim_digest_hex}"
 

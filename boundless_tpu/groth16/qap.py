@@ -18,8 +18,9 @@ zkey + prover behind `blake3_groth16` (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import dataclasses
 import secrets
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from .bn254 import G1, R
 from .msm import msm_pippenger
@@ -121,6 +122,23 @@ def _var_evals_at_tau(rows, col_of, n_vars: int, ltau: List[int]
     return out
 
 
+@dataclasses.dataclass
+class Trapdoor:
+    """The dev-CRS toxic waste. With it, proving collapses to O(nnz)
+    scalar arithmetic + 5 group exponentiations (prove_with_trapdoor) —
+    the produced proof is BIT-FOR-BIT the same distribution as the MSM
+    prover's, and verification stays the real pairing check. This is the
+    dev-mode analogue of the reference's locally-generated zkey
+    (production swaps in a ceremony CRS and the MSM path)."""
+
+    tau: int
+    alpha: int
+    beta: int
+    gamma: int
+    delta: int
+    m: int  # QAP domain size
+
+
 def setup_sparse(sys_: SparseR1CS, rng=secrets.randbelow,
                  progress=None) -> Tuple[ProvingKey, VerifyingKey]:
     """Dev CRS (local toxic waste) for a sparse system, FFT-domain QAP."""
@@ -198,6 +216,90 @@ class _FixedBaseG1:
                 acc = acc.add(t[d])
             s >>= self.W
         return acc
+
+
+def setup_trapdoor(sys_: SparseR1CS, rng=secrets.randbelow
+                   ) -> Tuple[Trapdoor, VerifyingKey]:
+    """Trapdoor-only dev setup: O(n_pub * nnz) — no per-variable CRS
+    points are materialized (prove_with_trapdoor needs none)."""
+    m = 1 << max(1, (len(sys_.rows) - 1).bit_length())
+    td = Trapdoor(tau=rng(R - 1) + 1, alpha=rng(R - 1) + 1,
+                  beta=rng(R - 1) + 1, gamma=rng(R - 1) + 1,
+                  delta=rng(R - 1) + 1, m=m)
+    ltau = _lagrange_at(td.tau, m)
+    npub1 = 1 + sys_.n_pub
+    a_tau = [0] * npub1
+    b_tau = [0] * npub1
+    c_tau = [0] * npub1
+    for k, row in enumerate(sys_.rows):
+        lk = ltau[k]
+        if not lk:
+            continue
+        for out, lc in zip((a_tau, b_tau, c_tau), row):
+            for i, coef in lc.items():
+                if i < npub1:
+                    out[i] = (out[i] + coef * lk) % R
+    g1 = G1.generator()
+    g2 = PR.g2_generator()
+    ginv = pow(td.gamma, R - 2, R)
+    vk = VerifyingKey(
+        alpha_g1=g1.mul(td.alpha), beta_g2=PR.g2_mul(g2, td.beta),
+        gamma_g2=PR.g2_mul(g2, td.gamma),
+        delta_g2=PR.g2_mul(g2, td.delta),
+        ic=[g1.mul((td.beta * a_tau[i] + td.alpha * b_tau[i] + c_tau[i])
+                   % R * ginv % R) for i in range(npub1)])
+    return td, vk
+
+
+def prove_with_trapdoor(sys_: SparseR1CS, td: Trapdoor, s: Sequence[int],
+                        rng=secrets.randbelow, check: bool = False
+                        ) -> Proof:
+    """Groth16 prove using the dev trapdoor: evaluate the QAP at tau as
+    SCALARS (per-row dot + Lagrange), then five exponentiations. Output
+    distribution identical to the MSM prover."""
+    if check:
+        assert sys_.is_satisfied(s)
+    m = td.m
+    ltau = _lagrange_at(td.tau, m)
+    a_val = b_val = c_val = 0
+    npub1 = 1 + sys_.n_pub
+    a_pub = b_pub = c_pub = 0
+    for k, row in enumerate(sys_.rows):
+        lk = ltau[k]
+        if not lk:
+            continue
+        dots = []
+        pubdots = []
+        for lc in row:
+            acc = 0
+            accp = 0
+            for i, coef in lc.items():
+                t = coef * s[i]
+                acc += t
+                if i < npub1:
+                    accp += t
+            dots.append(acc % R)
+            pubdots.append(accp % R)
+        a_val = (a_val + dots[0] * lk) % R
+        b_val = (b_val + dots[1] * lk) % R
+        c_val = (c_val + dots[2] * lk) % R
+        a_pub = (a_pub + pubdots[0] * lk) % R
+        b_pub = (b_pub + pubdots[1] * lk) % R
+        c_pub = (c_pub + pubdots[2] * lk) % R
+    z_tau = (pow(td.tau, m, R) - 1) % R
+    h_val = (a_val * b_val - c_val) % R * pow(z_tau, R - 2, R) % R
+    r = rng(R)
+    t = rng(R)
+    dinv = pow(td.delta, R - 2, R)
+    a_sc = (td.alpha + a_val + r * td.delta) % R
+    b_sc = (td.beta + b_val + t * td.delta) % R
+    wit_l = ((td.beta * (a_val - a_pub) + td.alpha * (b_val - b_pub)
+              + (c_val - c_pub)) % R) * dinv % R
+    c_sc = (wit_l + h_val * z_tau % R * dinv
+            + t * a_sc + r * b_sc - r * t % R * td.delta) % R
+    g1 = G1.generator()
+    g2 = PR.g2_generator()
+    return Proof(a=g1.mul(a_sc), b=PR.g2_mul(g2, b_sc), c=g1.mul(c_sc))
 
 
 def _row_evals(sys_: SparseR1CS, s: Sequence[int], m: int):

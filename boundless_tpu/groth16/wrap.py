@@ -2,18 +2,28 @@
 
 Reference shape: `tasks/snark.rs:44-71` — `compress(ProverOpts::groth16())`
 or `blake3_groth16::compress_blake3_groth16` (identity_p254 -> witness ->
-BN254 Groth16 via CUDA/rapidsnark). v1 here: the wrap API, receipt
-formats, and claim binding are real; the SNARK itself is a dev-mode
-attestation (full STARK carried inside) until the recursion circuit and
-the Groth16 circuit land (bn254.py/msm.py hold the curve layer they will
-use). Dev-mode receipts verify by re-verifying the carried STARK — sound,
-not succinct; `dev_mode=True` is visible to every consumer.
+BN254 Groth16 via CUDA/rapidsnark).
+
+The REAL path (succinct sessions): root recursion receipt ->
+identity_p254 final shrink (recursion/identity.py; outer proof under the
+BN254-native poseidon254 suite) -> the R1CS verifier circuit
+(groth16/circuit.py) -> Groth16 proof over the dev CRS (groth16/qap.py).
+The produced receipt has `dev_mode=False`: verification is the PAIRING
+CHECK plus claim-structure bindings — no STARK re-verification anywhere.
+The CRS is a locally-generated dev setup (trapdoor kept for the O(nnz)
+prover; production substitutes a ceremony zkey + the MSM prover, same
+proof format).
+
+The legacy dev-mode attestation path remains for v1 aggregation
+receipts and DevModeSystem sessions (`dev_mode=True`, full inner receipt
+carried and re-verified).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import hashlib
+from typing import Optional
 
 from ..recursion.receipt import SessionReceipt
 
@@ -24,6 +34,21 @@ SELECTOR_DEV_MODE = "0xdeadbeef"
 
 
 @dataclasses.dataclass
+class Groth16Seal:
+    """The real wrap seal: one Groth16 proof + its public felts, plus
+    the claim it binds (the claim digest IS public input 0, so every
+    claim field is proof-bound)."""
+
+    proof: object  # qap.Proof (A, B, C points)
+    vk: object  # protocol.VerifyingKey (dev CRS; production pins this)
+    publics: tuple  # 3 felts: pack(claim digest), pack(allowed root), 0
+    claim: object  # recursion.claims.Claim
+    entry_pc: int
+    image_mem_root: Optional[tuple]
+    allowed_root: tuple
+
+
+@dataclasses.dataclass
 class Groth16Receipt:
     kind: str  # "groth16" | "blake3_groth16"
     selector: str
@@ -31,7 +56,7 @@ class Groth16Receipt:
     journal: bytes
     image_id: tuple
     dev_mode: bool
-    inner: object  # dev-mode: the SessionReceipt; real: (A, B, C) points
+    inner: object  # real: Groth16Seal; dev: the carried session receipt
 
     def seal_bytes(self) -> bytes:
         return (bytes.fromhex(self.selector[2:]) + self.claim_digest
@@ -67,10 +92,90 @@ def _claim_digest_bytes(session) -> bytes:
     return _claims.digest_bytes(cd)
 
 
+# ---------------------------------------------------------------------------
+# Real wrap machinery (per-recursion-system, cached)
+# ---------------------------------------------------------------------------
+
+_WRAP_KEYS = {}
+
+
+@dataclasses.dataclass
+class WrapKey:
+    td: object  # qap.Trapdoor (dev CRS)
+    vk: object  # protocol.VerifyingKey
+    n_rows: int
+    n_vars: int
+
+
+def wrap_key_for(p254) -> WrapKey:
+    """Build (once per identity system) the wrap circuit layout + dev
+    CRS. Layout mode emits the identical constraint sequence the
+    concrete prover walks, so the trapdoor/VK match every proof."""
+    key = (p254.system.params, tuple(p254.control_id))
+    if key in _WRAP_KEYS:
+        return _WRAP_KEYS[key]
+    from ..recursion import air as rair
+    from . import circuit as C
+    from . import qap, r1cs
+
+    bld = r1cs.Builder(concrete=False)
+    C.build_verifier(bld, rair.AIR, p254.po2, p254.ps254,
+                     p254.control_id, proof=None, pub_vals=None)
+    sys_ = bld.to_sparse()
+    td, vk = qap.setup_trapdoor(sys_)
+    wk = WrapKey(td=td, vk=vk, n_rows=len(sys_.rows), n_vars=sys_.n_vars)
+    _WRAP_KEYS[key] = wk
+    return wk
+
+
+def _real_compress(session, kind: str, system) -> Groth16Receipt:
+    from ..core import poseidon_bn254 as P254
+    from ..recursion import air as rair
+    from ..recursion import identity
+    from . import circuit as C
+    from . import qap, r1cs
+
+    p254 = identity.get_p254(system.params)
+    shr = p254.shrink(session.root)
+    if not p254.verify(shr):
+        raise ValueError("identity_p254 shrink failed verification")
+    wk = wrap_key_for(p254)
+    bld = r1cs.Builder(concrete=True)
+    C.build_verifier(bld, rair.AIR, p254.po2, p254.ps254,
+                     p254.control_id, proof=shr.proof,
+                     pub_vals=shr.pub_vals)
+    sys_ = bld.to_sparse()
+    assert len(sys_.rows) == wk.n_rows and sys_.n_vars == wk.n_vars, \
+        "wrap circuit layout drifted from the CRS"
+    proof = qap.prove_with_trapdoor(sys_, wk.td, bld.witness())
+    pv = [int(x) for x in shr.pub_vals]
+    publics = tuple(P254.pack_bb(pv[8 * i : 8 * i + 8]) for i in range(3))
+    seal = Groth16Seal(proof=proof, vk=wk.vk, publics=publics,
+                       claim=shr.claim, entry_pc=session.entry_pc,
+                       image_mem_root=getattr(session, "image_mem_root",
+                                              None),
+                       allowed_root=tuple(system.allowed_root))
+    return Groth16Receipt(
+        kind=kind,
+        selector=(SELECTOR_GROTH16 if kind == "groth16"
+                  else SELECTOR_BLAKE3_GROTH16),
+        claim_digest=_claim_digest_bytes(session),
+        journal=session.journal,
+        image_id=session.image_id,
+        dev_mode=False,
+        inner=seal)
+
+
 def compress(session, kind: str = "groth16", system=None) -> Groth16Receipt:
     assert kind in ("groth16", "blake3_groth16")
     if not _verify_session(session, system):
         raise ValueError("cannot wrap: stark receipt fails verification")
+    from ..recursion import succinct as _succ
+
+    if (system is not None and isinstance(system, _succ.SuccinctSystem)
+            and isinstance(session, _succ.SuccinctSessionReceipt)):
+        return _real_compress(session, kind, system)
+    # legacy/dev attestation (v1 aggregation receipts, DevModeSystem)
     return Groth16Receipt(
         kind=kind,
         selector=(SELECTOR_GROTH16 if kind == "groth16"
@@ -92,4 +197,49 @@ def verify(receipt: Groth16Receipt, expected_image_id=None,
         return (inner.journal == receipt.journal
                 and _claim_digest_bytes(inner) == receipt.claim_digest
                 and _verify_session(inner, system))
-    raise NotImplementedError("non-dev groth16 verify lands with the circuit")
+    return _verify_real(receipt, system)
+
+
+def _verify_real(receipt: Groth16Receipt, system=None) -> bool:
+    """Pairing-only verification of the real seal (reference
+    `blake3_groth16/src/verify.rs:63-124`): one Groth16 pairing check +
+    claim-structure bindings. NO STARK is re-verified — the wrap circuit
+    proved the identity_p254 STARK, which proved the root recursion
+    receipt, which proved the whole session."""
+    from ..core import poseidon_bn254 as P254
+    from ..recursion import claims as _claims
+    from . import protocol
+
+    seal: Groth16Seal = receipt.inner
+    c = seal.claim
+    # claim digest binds every claim field; it must match the receipt's
+    # digest bytes AND public input 0
+    digest = c.digest()
+    if _claims.digest_bytes(digest) != receipt.claim_digest:
+        return False
+    if seal.publics[0] != P254.pack_bb(list(digest)):
+        return False
+    # allowed root: the recursion lattice this proof closed over
+    want_root = (tuple(system.allowed_root) if system is not None
+                 else tuple(seal.allowed_root))
+    if seal.publics[1] != P254.pack_bb(list(want_root)):
+        return False
+    if seal.publics[2] != 0:
+        return False
+    # session-level claim checks (mirror succinct.verify_session)
+    if c.image_id != tuple(int(x) for x in receipt.image_id):
+        return False
+    if not c.halted or not c.is_genesis(seal.entry_pc,
+                                        seal.image_mem_root):
+        return False
+    if c.post_assumptions != _claims.ZERO_CHAIN:
+        return False
+    if len(receipt.journal) % 4:
+        return False
+    words = [int.from_bytes(receipt.journal[i : i + 4], "little")
+             for i in range(0, len(receipt.journal), 4)]
+    if _claims.fold_words(_claims.ZERO_CHAIN, words) != c.post_journal:
+        return False
+    # THE pairing check
+    return protocol.verify(seal.vk, seal.proof, [s % protocol.R
+                                                 for s in seal.publics])

@@ -31,6 +31,47 @@ struct Layout {
   int32_t m_s_bits, m_g, m_g2;
 };
 
+// keccak-f[1600] (mirrors executor.cpp; KECCAK ecall witness rows)
+constexpr uint64_t KRC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+constexpr int KROT[5][5] = {{0, 36, 3, 41, 18},
+                            {1, 44, 10, 45, 2},
+                            {62, 6, 43, 15, 61},
+                            {28, 55, 25, 21, 56},
+                            {27, 20, 39, 8, 14}};
+
+void keccakf(uint64_t a[25]) {
+  for (int r = 0; r < 24; r++) {
+    uint64_t c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++) {
+      uint64_t t = c[(x + 1) % 5];
+      d[x] = c[(x + 4) % 5] ^ ((t << 1) | (t >> 63));
+    }
+    for (int i = 0; i < 25; i++) a[i] ^= d[i % 5];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) {
+        int rr = KROT[x][y];
+        uint64_t v = a[x + 5 * y];
+        b[y + 5 * ((2 * x + 3 * y) % 5)] =
+            rr ? ((v << rr) | (v >> (64 - rr))) : v;
+      }
+    for (int y = 0; y < 5; y++)
+      for (int x = 0; x < 5; x++)
+        a[x + 5 * y] =
+            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KRC[r];
+  }
+}
+
 uint64_t modpow(uint64_t b, uint64_t e, uint64_t m) {
   uint64_t r = 1;
   b %= m;
@@ -550,9 +591,43 @@ extern "C" int bt_trace_cycles(
       }
     } else if (d.sel[9]) {  // ECALL
       uint32_t t0 = regs[5];
-      if (t0 > 4) return fail(err, err_len, "unknown ecall"), 1;
-      r[L.k + t0] = 1;
+      if (t0 > 5) return fail(err, err_len, "unknown ecall"), 1;
+      if (t0 < 5) r[L.k + t0] = 1;
       uint32_t a0 = regs[10];
+      if (t0 == 5) {  // KECCAK coprocessor (dev/preflight witness only)
+        uint64_t st[25];
+        auto push5 = [&](int64_t t, uint32_t wa, int isw,
+                         uint32_t val) -> bool {
+          if (n_ops >= n_rows) return false;
+          mem_ops_out[4 * n_ops] = t;
+          mem_ops_out[4 * n_ops + 1] = wa;
+          mem_ops_out[4 * n_ops + 2] = isw;
+          mem_ops_out[4 * n_ops + 3] = val;
+          n_ops++;
+          return true;
+        };
+        for (int i = 0; i < 25; i++) {
+          uint32_t alo = (a0 + 8 * i) & ~3u, ahi = (a0 + 8 * i + 4) & ~3u;
+          auto itlo = mem.find(alo);
+          auto ithi = mem.find(ahi);
+          uint32_t lo = itlo == mem.end() ? 0 : itlo->second;
+          uint32_t hi = ithi == mem.end() ? 0 : ithi->second;
+          if (!push5(2 * (int64_t)clk, alo >> 2, 0, lo) ||
+              !push5(2 * (int64_t)clk, ahi >> 2, 0, hi))
+            return fail(err, err_len, "mem op overflow"), 1;
+          st[i] = (uint64_t)lo | ((uint64_t)hi << 32);
+        }
+        keccakf(st);
+        for (int i = 0; i < 25; i++) {
+          uint32_t alo = (a0 + 8 * i) & ~3u, ahi = (a0 + 8 * i + 4) & ~3u;
+          uint32_t lo = (uint32_t)st[i], hi = (uint32_t)(st[i] >> 32);
+          mem[alo] = lo;
+          mem[ahi] = hi;
+          if (!push5(2 * (int64_t)clk + 1, alo >> 2, 1, lo) ||
+              !push5(2 * (int64_t)clk + 1, ahi >> 2, 1, hi))
+            return fail(err, err_len, "mem op overflow"), 1;
+        }
+      }
       if (t0 == 0) {
         halted = true;
       } else if (t0 == 1) {

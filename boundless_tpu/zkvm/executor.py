@@ -151,6 +151,21 @@ class SessionResult:
     image_id: bytes
 
 
+def keccak_perm_digest(pre_lanes, post_lanes) -> bytes:
+    """Canonical 32-byte claim digest of one permutation: Poseidon2 of
+    the 200 concatenated 16-bit limbs (pre state || post state) — the
+    digest the keccak circuit's public table re-derives (air/keccak.py).
+    """
+    from ..core import poseidon2_np as P2NP
+
+    limbs = [((int(v) >> (16 * s)) & 0xFFFF)
+             for v in pre_lanes for s in range(4)]
+    limbs += [((int(v) >> (16 * s)) & 0xFFFF)
+              for v in post_lanes for s in range(4)]
+    digest = P2NP.hash_elems_np(limbs)
+    return b"".join(int(w).to_bytes(4, "little") for w in digest)
+
+
 def _signed(v):
     return v - (1 << 32) if v & 0x80000000 else v
 
@@ -212,7 +227,8 @@ class Executor:
         self.verify_words = []
         self.log = bytearray()
         self.assumptions = []
-        self.keccak_claims = []  # (pre_digest, post_digest) per permutation
+        self.keccak_claims = []  # 32-byte claim digest per permutation
+        self.keccak_states = []  # input lanes per permutation (prover feed)
         self.segment_po2 = segment_po2
         # Reserve a few cycles of every segment for control rows.
         self.segment_limit = (1 << segment_po2) - 4
@@ -460,21 +476,22 @@ class Executor:
                                   for w in self.verify_words[-8:])
                 self.assumptions.append(digest)
         elif code == KECCAK:
-            import hashlib
-
             lanes = []
             for i in range(25):
                 lo = self.load(a0 + 8 * i, 4, False)
                 hi = self.load(a0 + 8 * i + 4, 4, False)
                 lanes.append(lo | (hi << 32))
-            pre = hashlib.sha256(
-                b"".join(v.to_bytes(8, "little") for v in lanes)).digest()
+            pre_lanes = list(lanes)
             lanes = keccak_f1600(lanes)
             for i, v in enumerate(lanes):
                 self.store(a0 + 8 * i, 4, v & M32)
                 self.store(a0 + 8 * i + 4, 4, (v >> 32) & M32)
-            post = hashlib.sha256(
-                b"".join(v.to_bytes(8, "little") for v in lanes)).digest()
-            self.keccak_claims.append((pre, post))
+            # circuit-friendly claim: Poseidon2 over the 16-bit limb
+            # vectors — the SAME digest the keccak segment proof's
+            # public state table derives (air/keccak.py; consumed by the
+            # coproc union/resolve stream)
+            self.keccak_states.append(pre_lanes)
+            self.keccak_claims.append(
+                keccak_perm_digest(pre_lanes, lanes))
         else:
             raise GuestFault(f"unknown ecall {code}")

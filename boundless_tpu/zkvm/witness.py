@@ -524,10 +524,31 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
                 rdv = r32
         elif sel[9]:  # ECALL
             t0 = int(regs[5]) & M32
-            if t0 > 4:
+            if t0 > 5:
                 raise GuestFault(f"unknown ecall {t0}")
-            row[DC.k.start + t0] = 1
+            if t0 < 5:
+                row[DC.k.start + t0] = 1
             a0 = int(regs[10]) & M32
+            if t0 == 5:  # KECCAK coprocessor (dev/preflight witness only:
+                #            the in-circuit ecall ABI is staged —
+                #            docs/PROTOCOL.md; this row is unprovable)
+                from .executor import keccak_f1600
+
+                lanes = []
+                for i in range(25):
+                    w_lo = mem.get((a0 + 8 * i) & ~3, 0)
+                    w_hi = mem.get((a0 + 8 * i + 4) & ~3, 0)
+                    mem_ops.append((2 * clk, (a0 + 8 * i) >> 2, 0, w_lo))
+                    mem_ops.append((2 * clk, (a0 + 8 * i + 4) >> 2, 0, w_hi))
+                    lanes.append(w_lo | (w_hi << 32))
+                out = keccak_f1600(lanes)
+                for i, v in enumerate(out):
+                    lo, hi = v & M32, (v >> 32) & M32
+                    mem[(a0 + 8 * i) & ~3] = lo
+                    mem[(a0 + 8 * i + 4) & ~3] = hi
+                    mem_ops.append((2 * clk + 1, (a0 + 8 * i) >> 2, 1, lo))
+                    mem_ops.append((2 * clk + 1, (a0 + 8 * i + 4) >> 2, 1,
+                                    hi))
             if t0 == 0:  # HALT
                 halted = True
             elif t0 == 1:  # COMMIT

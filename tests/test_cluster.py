@@ -160,7 +160,7 @@ def test_aux_agent_runs_maintenance_crons():
     from boundless_tpu.cluster.storage import SharedFs
 
     db = MemoryBackend()
-    ctx = ClusterContext(db=db, hot=HotStore(ttl=0.01), store=SharedFs())
+    ctx = ClusterContext(db=db, hot=HotStore(ttl=0.01), store=SharedFs(), succinct=None)
     job = db.create_job("prove", {"kind": "x"}, timeout_secs=0.01)
     t = db.request_work("prove")  # lease it, then "die"
     ctx.hot.set("ephemeral", 1)

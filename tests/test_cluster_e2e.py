@@ -24,7 +24,7 @@ PO2 = 8
 def make_ctx():
     return ClusterContext(db=MemoryBackend(), hot=HotStore(),
                           store=SharedFs(), ps=prove.TEST_PS,
-                          segment_po2=PO2)
+                          segment_po2=PO2, succinct=None)
 
 
 def test_execute_only_session():

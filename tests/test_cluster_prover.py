@@ -23,7 +23,7 @@ PO2 = 8
 
 def test_cluster_prover_preflight():
     ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(), store=SharedFs(),
-                         ps=prove.TEST_PS, segment_po2=PO2)
+                         ps=prove.TEST_PS, segment_po2=PO2, succinct=None)
     run_workers(ctx, {"exec": 1})
     cp = ClusterProver(ClusterApi(ctx), timeout=30)
     cycles = cp.preflight(guests.echo(), guests.words([1, 5]))
@@ -33,7 +33,7 @@ def test_cluster_prover_preflight():
 @pytest.mark.slow
 def test_broker_with_cluster_prover_real_seal():
     ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(), store=SharedFs(),
-                         ps=prove.TEST_PS, segment_po2=PO2)
+                         ps=prove.TEST_PS, segment_po2=PO2, succinct=None)
     run_workers(ctx, {"exec": 1, "prove": 2, "join": 1, "aux": 1})
     cp = ClusterProver(ClusterApi(ctx), timeout=900)
 

@@ -30,6 +30,7 @@ PO2 = 8
 
 
 def start_server(**ctx_kw):
+    ctx_kw.setdefault("succinct", None)  # legacy v1 unless specified
     ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(),
                          store=SharedFs(), ps=prove.TEST_PS,
                          segment_po2=PO2, **ctx_kw)
