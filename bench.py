@@ -8,6 +8,17 @@ effective = total_cycles / elapsed_secs. The reference publishes no
 absolute numbers (BASELINE.md); vs_baseline is reported against the
 reference's template capacity setting peak_prove_khz = 100
 (broker-template.toml:62), i.e. vs_baseline = effective_khz / 100.
+
+BENCH_MODE=pipeline measures the full proving pipeline instead of the
+prove kernel alone: executor -> native witness gen -> segment STARKs ->
+succinct lift -> join tree, with per-stage latencies and the
+cluster-level effective kHz (elapsed = whole pipeline wall time, the
+reference's taskdb MIN(started)..MAX(updated) analogue). The stage
+breakdown is written to BENCH_PIPELINE.json; stdout stays one line.
+Recursion params via BENCH_REC_PO2 / BENCH_REC_QUERIES (production
+sizing is rec_po2=20 at 100 queries — docs/ROOFLINE.md; default here is
+the CI-scale recursion system so the one-off relay compile stays
+tractable).
 """
 
 import json
@@ -41,7 +52,100 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # vmap'd segments per call
 
 
+def pipeline_main():
+    import jax.numpy as jnp  # noqa: F401
+
+    from boundless_tpu.recursion import claims, succinct  # noqa: E402
+    from boundless_tpu.zkvm import paging  # noqa: E402
+
+    seg_po2 = PO2
+    rec_po2 = int(os.environ.get("BENCH_REC_PO2", "17"))
+    rec_q = int(os.environ.get("BENCH_REC_QUERIES", "2"))
+    seg_ps = stark.ProofSystem(queries=int(
+        os.environ.get("BENCH_SEG_QUERIES", "2")), fri_min_degree=16,
+        commit_expand=2)
+    rec_ps = stark.ProofSystem(queries=rec_q, fri_min_degree=16,
+                               commit_expand=2)
+    n_segs = int(os.environ.get("BENCH_SEGMENTS", "2"))
+    image = guests.loop_guest()
+    iters = (n_segs * (1 << seg_po2) - 60) // 2
+    t0 = time.time()
+    ex = Executor(image, guests.words([iters]), segment_po2=seg_po2)
+    res = ex.run()
+    t_exec = time.time() - t0
+    system = prove_sys = None
+    from boundless_tpu.recursion.succinct import SuccinctParams, get_system
+
+    system = get_system(SuccinctParams(seg_po2=seg_po2, seg_ps=seg_ps,
+                                       rec_po2=rec_po2, rec_ps=rec_ps))
+    from boundless_tpu.cluster.agent import _segment_pre_chains
+
+    meta = _segment_pre_chains(ex, res)
+    # warmup pass: one-time relay/XLA compiles stay out of the measured
+    # pipeline (the cluster's long-lived workers are always warm)
+    w0 = witness.trace_segment_native(image, res.segments[0], seg_po2)
+    sr0 = prove.prove_segment(image, res.segments[0], ps=seg_ps)
+    jax.block_until_ready(sr0.proof.data_root)
+    pre0 = {int(t): tuple(v)
+            for t, v in meta[res.segments[0].index].items()}
+    r0 = system.lift(sr0, pre0, pre_mem=res.segments[0].pre_mem)
+    jax.block_until_ready(r0.proof.data_root)
+    j0 = system.join(r0, system.lift(
+        prove.prove_segment(image, res.segments[1], ps=seg_ps),
+        {int(t): tuple(v) for t, v in meta[res.segments[1].index].items()},
+        pre_mem=res.segments[1].pre_mem)) if len(res.segments) > 1 else None
+    if j0 is not None:
+        jax.block_until_ready(j0.proof.data_root)
+
+    t_wit = t_prove = t_lift = 0.0
+    receipts = []
+    pipeline_t0 = time.time()
+    for seg in res.segments:
+        t1 = time.time()
+        w = witness.trace_segment_native(image, seg, seg_po2)
+        t_wit += time.time() - t1
+        t1 = time.time()
+        sr = prove.prove_segment(image, seg, ps=seg_ps)
+        jax.block_until_ready(sr.proof.data_root)
+        t_prove += time.time() - t1
+        t1 = time.time()
+        pre = {int(t): tuple(v) for t, v in meta[seg.index].items()}
+        r = system.lift(sr, pre, pre_mem=seg.pre_mem)
+        jax.block_until_ready(r.proof.data_root)
+        t_lift += time.time() - t1
+        receipts.append(r)
+    t1 = time.time()
+    cur = receipts[0]
+    for r in receipts[1:]:
+        cur = system.join(cur, r)
+        jax.block_until_ready(cur.proof.data_root)
+    t_join = time.time() - t1
+    elapsed = time.time() - pipeline_t0
+    cycles = res.total_cycles
+    eff_khz = cycles / (elapsed + t_exec) / 1000.0
+    breakdown = dict(
+        seg_po2=seg_po2, segments=len(res.segments), cycles=cycles,
+        seg_queries=seg_ps.queries, rec_po2=rec_po2, rec_queries=rec_q,
+        exec_s=round(t_exec, 3), witness_s=round(t_wit, 3),
+        prove_s=round(t_prove, 3), lift_s=round(t_lift, 3),
+        join_s=round(t_join, 3),
+        lift_latency_per_receipt_s=round(t_lift / len(receipts), 3),
+        join_latency_per_receipt_s=round(
+            t_join / max(1, len(receipts) - 1), 3),
+        effective_khz=round(eff_khz, 2))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_PIPELINE.json"), "w") as f:
+        json.dump(breakdown, f, indent=1)
+    print(json.dumps({
+        "metric": "pipeline_effective_khz",
+        "value": round(eff_khz, 2),
+        "unit": "kHz",
+        "vs_baseline": round(eff_khz / 100.0, 4)}))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "pipeline":
+        return pipeline_main()
     # Workload: loop guest filling one segment (reference config 2 shape).
     image = guests.loop_guest()
     iters = ((1 << PO2) - 40) // 2

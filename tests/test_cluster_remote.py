@@ -198,3 +198,51 @@ def test_kill9_worker_lease_requeue():
         assert ctx.db.job_state(job)["state"].value == "done"
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_multiprocess_real_proof_session():
+    """Real segment STARKs + real succinct recursion across OS-process
+    boundaries (round-2 verdict #9: no real-proof session had ever
+    crossed a process boundary). Params match the heap slow test so the
+    worker subprocesses hit the shared persistent compile cache."""
+    from boundless_tpu.prover import stark as _stark
+    from boundless_tpu.recursion.succinct import SuccinctParams, get_system
+
+    ps = _stark.ProofSystem(queries=2, fri_min_degree=16, commit_expand=2)
+    system = get_system(SuccinctParams(seg_po2=8, seg_ps=ps,
+                                       rec_po2=17, rec_ps=ps))
+    ctx, api, server, url = start_server(succinct=system)
+    ctx.ps = ps
+    ctx.segment_po2 = 8
+    procs = []
+    try:
+        client = BentoClient(url)
+        client.upload_image("echo", guests.echo())
+        payload = [3, 1, 4]
+        client.upload_input("in0", guests.words([len(payload)] + payload))
+        job = client.create_session("echo", "in0", segment_po2=8)
+        for streams in ("exec,aux", "prove,join"):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "boundless_tpu.cluster.remote",
+                 "--api-url", url, "--stream", streams,
+                 "--idle-timeout", "2400"],
+                env=_worker_env(), stdout=subprocess.DEVNULL,
+                stderr=subprocess.PIPE))
+        st = client.wait(job, timeout=3000, poll=1.0)
+        assert st["status"] == "SUCCEEDED", (
+            st, [p.stderr.read()[-800:] if p.poll() is not None else b""
+                 for p in procs])
+        session = client.receipt(job)
+        assert session.journal == guests.words(payload)
+        # the receipt is a REAL succinct session receipt
+        from boundless_tpu.recursion import succinct as S_
+
+        assert isinstance(session, S_.SuccinctSessionReceipt)
+        assert session.root.proof is not None
+        assert S_.verify_session(session, system)
+    finally:
+        for p in procs:
+            p.kill()
+            p.wait()
+        server.shutdown()
