@@ -42,10 +42,36 @@ from . import hotstore as hs
 
 
 class ClusterApi:
-    """Route handling against a ClusterContext (transport-independent)."""
+    """Route handling against a ClusterContext (transport-independent).
 
-    def __init__(self, ctx: ClusterContext):
+    `api_keys`: optional {key: user} map (reference per-user API keys,
+    `prover/crates/api/src/helpers.rs:16-24`). When set, every user-plane
+    route requires `X-API-Key`; sessions are owned by the resolved user
+    (fed to the taskdb's per-user fair-share scheduler) and status/
+    receipt reads are restricted to the owner.
+    """
+
+    def __init__(self, ctx: ClusterContext, api_keys: dict | None = None):
         self.ctx = ctx
+        self.api_keys = api_keys
+
+    def resolve_user(self, key: str | None) -> str:
+        if self.api_keys is None:
+            return "default"
+        user = self.api_keys.get(key or "")
+        if user is None:
+            raise PermissionError("invalid or missing API key")
+        return user
+
+    def _check_owner(self, job_id: str, user: str):
+        if self.api_keys is None:
+            return
+        try:
+            owner = self.ctx.db.job_user(job_id)
+        except KeyError:
+            return  # job GC'd; receipt fallback path decides
+        if owner != user:
+            raise PermissionError("not the session owner")
 
     # -- uploads --------------------------------------------------------
     def upload_image(self, image_id: str, body: bytes):
@@ -62,7 +88,7 @@ class ClusterApi:
         return {"ok": True, "input_id": input_id}
 
     # -- sessions -------------------------------------------------------
-    def create_session(self, req: dict) -> dict:
+    def create_session(self, req: dict, user: str = "default") -> dict:
         job_id = self.ctx.db.create_job(
             "exec",
             dict(kind="exec", image_id=req["img"], input_id=req["input"],
@@ -71,10 +97,12 @@ class ClusterApi:
                                          self.ctx.segment_po2)),
                  exec_cycle_limit=int(req.get("exec_cycle_limit",
                                               self.ctx.exec_cycle_limit))),
+            user=user,
             priority=Priority(int(req.get("priority", Priority.MEDIUM))))
         return {"uuid": job_id}
 
-    def session_status(self, job_id: str) -> dict:
+    def session_status(self, job_id: str, user: str = "default") -> dict:
+        self._check_owner(job_id, user)
         try:
             st = self.ctx.db.job_state(job_id)
         except KeyError:
@@ -91,10 +119,12 @@ class ClusterApi:
                             if k in ("total_cycles", "segments", "exit_code")}
         return out
 
-    def receipt(self, job_id: str):
+    def receipt(self, job_id: str, user: str = "default"):
         """Receipt in the versioned wire format (never pickle on the wire;
         reference serves bincode receipts, finalize.rs:76-88)."""
         from ..utils import serde
+
+        self._check_owner(job_id, user)
 
         obj = self.ctx.store.get("receipts/stark", job_id)
         if obj is None:
@@ -108,10 +138,12 @@ class ClusterApi:
         return self.ctx.store.get_bytes("preflight_journals", job_id)
 
     # -- snark ----------------------------------------------------------
-    def create_snark(self, req: dict) -> dict:
+    def create_snark(self, req: dict, user: str = "default") -> dict:
+        self._check_owner(req["session_id"], user)
         job_id = self.ctx.db.create_job(
             "snark", dict(kind="snark", source_job=req["session_id"],
-                          compress=req.get("compress", "groth16")))
+                          compress=req.get("compress", "groth16")),
+            user=user)
         return {"uuid": job_id}
 
     # -- cross-process worker plane --------------------------------------
@@ -268,6 +300,9 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
         def log_message(self, *a):  # quiet
             pass
 
+        def _user(self) -> str:
+            return api.resolve_user(self.headers.get("X-API-Key"))
+
         def _authorized(self, parts) -> bool:
             if token is None or parts[:1] != ["workers"]:
                 return True
@@ -325,9 +360,9 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
             try:
                 req = json.loads(self._body() or b"{}")
                 if parts == ["sessions", "create"]:
-                    self._send(200, api.create_session(req))
+                    self._send(200, api.create_session(req, self._user()))
                 elif parts == ["snark", "create"]:
-                    self._send(200, api.create_snark(req))
+                    self._send(200, api.create_snark(req, self._user()))
                 elif parts[:3] == ["workers", "tasks", "claim"]:
                     self._send(200, api.worker_claim(
                         parts[3], req.get("worker_id", "")))
@@ -341,6 +376,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                     self._send(200, api.worker_maintenance(req))
                 else:
                     self._send(404, {"error": "not found"})
+            except PermissionError as e:
+                self._send(401, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
@@ -362,11 +399,13 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                 return self._send(401, {"error": "unauthorized"})
             try:
                 if parts[:2] == ["sessions", "status"]:
-                    self._send(200, api.session_status(parts[2]))
+                    self._send(200, api.session_status(parts[2],
+                                                       self._user()))
                 elif parts[:2] == ["snark", "status"]:
-                    self._send(200, api.session_status(parts[2]))
+                    self._send(200, api.session_status(parts[2],
+                                                       self._user()))
                 elif parts[:2] == ["receipts", "stark"]:
-                    data = api.receipt(parts[2])
+                    data = api.receipt(parts[2], self._user())
                     if data is None:
                         self._send(404, {"error": "no receipt"})
                     else:
@@ -404,6 +443,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                                "text/plain; version=0.0.4")
                 else:
                     self._send(404, {"error": "not found"})
+            except PermissionError as e:
+                self._send(401, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
@@ -415,14 +456,18 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
 class BentoClient:
     """Minimal client (reference `bento-client` / bonsai-sdk shape)."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, api_key: str | None = None):
         self.base = base_url.rstrip("/")
+        self.api_key = api_key  # per-user key (reference helpers.rs:16-24)
 
     def _req(self, method, path, body=None, headers=None):
         import urllib.request
 
+        headers = dict(headers or {})
+        if self.api_key is not None:
+            headers.setdefault("X-API-Key", self.api_key)
         req = urllib.request.Request(self.base + path, data=body,
-                                     method=method, headers=headers or {})
+                                     method=method, headers=headers)
         with urllib.request.urlopen(req) as resp:
             return resp.read()
 

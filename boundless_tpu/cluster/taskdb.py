@@ -4,9 +4,10 @@ Re-design of the reference scheduler (`prover/crates/taskdb`: Redis Lua
 function library, `src/redis_backend.rs:18-618`; and the Postgres gen,
 `bento/crates/taskdb/migrations/1_taskdb.sql`). Same semantics:
 
-  * streams: (worker_type, priority) work queues (per-user fair-share
-    weights — reference `reserved`/`be_mult`, `1_taskdb.sql:24-48` — are
-    not yet implemented in either backend)
+  * streams: (worker_type, priority) work queues with per-user fair-share
+    scheduling (reference `reserved`/`be_mult`, `1_taskdb.sql:24-48`):
+    users under their reserved concurrent share are claimed first, spare
+    capacity splits by best-effort weight (`set_user_quota`)
   * jobs own a DAG of tasks; task states Pending → Ready → Running →
     Done/Failed (`src/lib.rs:87-95`)
   * dependency counts decremented atomically on completion; a task whose
@@ -88,7 +89,55 @@ class MemoryBackend:
         self.tasks: dict = {}  # (job, task) -> Task
         self.jobs: dict = {}  # job -> dict(state, user, error)
         self.ready: dict = {}  # stream -> list of (priority-neg, seq, key)
+        self.quotas: dict = {}  # user -> (reserved, be_mult)
         self._seq = 0
+
+    # -- per-user fair share (reference `reserved`/`be_mult` stream
+    #    columns, bento/crates/taskdb/migrations/1_taskdb.sql:24-48) ------
+    def set_user_quota(self, user: str, reserved: int = 0,
+                       be_mult: float = 1.0):
+        """reserved: guaranteed concurrent tasks per stream; be_mult:
+        best-effort weight for capacity beyond everyone's reserve."""
+        with self._cond:
+            self.quotas[user] = (int(reserved), float(be_mult))
+
+    def _running_by_user(self, stream: str) -> dict:
+        out: dict = {}
+        for t in self.tasks.values():
+            if t.stream == stream and t.state == TaskState.RUNNING:
+                u = self.jobs.get(t.job_id, {}).get("user", "default")
+                out[u] = out.get(u, 0) + 1
+        return out
+
+    def _select_fair(self, stream: str, q: list) -> int:
+        """Index into the (priority-sorted) ready list honoring quotas.
+
+        Users under their reserved share win (most-underserved first);
+        past the reserves, pick the user with the lowest
+        running/be_mult ratio. Single-user queues keep strict
+        (priority, fifo) order — identical to the quota-free scheduler.
+        """
+        users_ready: dict = {}
+        for idx, (_, _, key) in enumerate(q):
+            u = self.jobs.get(key[0], {}).get("user", "default")
+            users_ready.setdefault(u, idx)
+        if len(users_ready) == 1:
+            return next(iter(users_ready.values()))
+        running = self._running_by_user(stream)
+
+        def quota(u):
+            return self.quotas.get(u, (0, 1.0))
+
+        under = [u for u in users_ready
+                 if running.get(u, 0) < quota(u)[0]]
+        if under:
+            pick = min(under, key=lambda u: (
+                running.get(u, 0) / max(quota(u)[0], 1), users_ready[u]))
+        else:
+            pick = min(users_ready, key=lambda u: (
+                running.get(u, 0) / max(quota(u)[1], 1e-9),
+                users_ready[u]))
+        return users_ready[pick]
 
     # -- job/task creation -----------------------------------------------
     def create_job(self, stream: str, definition: dict, user: str = "default",
@@ -151,7 +200,7 @@ class MemoryBackend:
             while True:
                 q = self.ready.get(stream) or []
                 if q:
-                    _, _, key = q.pop(0)
+                    _, _, key = q.pop(self._select_fair(stream, q))
                     t = self.tasks[key]
                     t.state = TaskState.RUNNING
                     t.started_at = t.started_at or time.time()
@@ -260,7 +309,11 @@ class MemoryBackend:
         with self._lock:
             j = self.jobs[job_id]
             return dict(state=j["state"], error=j.get("error"),
-                        unresolved=j["unresolved"])
+                        unresolved=j["unresolved"], user=j.get("user"))
+
+    def job_user(self, job_id: str) -> str:
+        with self._lock:
+            return self.jobs[job_id]["user"]
 
     def task_output(self, job_id: str, task_id: str):
         with self._lock:
@@ -309,10 +362,53 @@ class SqliteBackend:
     def __init__(self, path: str = ":memory:"):
         self._db = sqlite3.connect(path, check_same_thread=False)
         self._db.executescript(self.SCHEMA)
+        self._db.execute(
+            "CREATE TABLE IF NOT EXISTS user_quotas ("
+            "user TEXT PRIMARY KEY, reserved INTEGER, be_mult REAL)")
         self._lock = threading.Lock()
 
     def _tx(self):
         return self._db
+
+    # -- per-user fair share (reference 1_taskdb.sql:24-48) ---------------
+    def set_user_quota(self, user: str, reserved: int = 0,
+                       be_mult: float = 1.0):
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO user_quotas VALUES (?,?,?) "
+                "ON CONFLICT(user) DO UPDATE SET reserved=?, be_mult=?",
+                (user, int(reserved), float(be_mult), int(reserved),
+                 float(be_mult)))
+
+    def _fair_user(self, stream: str):
+        """The user whose head-of-queue task should be claimed, or None."""
+        cands = self._db.execute(
+            "SELECT j.user, MAX(t.priority), MIN(t.created_at) "
+            "FROM tasks t JOIN jobs j ON j.job_id = t.job_id "
+            "WHERE t.stream=? AND t.state='ready' GROUP BY j.user",
+            (stream,)).fetchall()
+        if not cands:
+            return None
+        if len(cands) == 1:
+            return cands[0][0]
+        running = dict(self._db.execute(
+            "SELECT j.user, COUNT(*) FROM tasks t JOIN jobs j "
+            "ON j.job_id = t.job_id WHERE t.stream=? AND t.state='running' "
+            "GROUP BY j.user", (stream,)).fetchall())
+        quotas = dict((u, (r, b)) for u, r, b in self._db.execute(
+            "SELECT user, reserved, be_mult FROM user_quotas").fetchall())
+
+        def quota(u):
+            return quotas.get(u, (0, 1.0))
+
+        order = {u: i for i, (u, _, _) in enumerate(cands)}
+        users = [u for u, _, _ in cands]
+        under = [u for u in users if running.get(u, 0) < quota(u)[0]]
+        if under:
+            return min(under, key=lambda u: (
+                running.get(u, 0) / max(quota(u)[0], 1), order[u]))
+        return min(users, key=lambda u: (
+            running.get(u, 0) / max(quota(u)[1], 1e-9), order[u]))
 
     def create_job(self, stream, definition, user="default",
                    priority=Priority.MEDIUM, max_retries=3,
@@ -358,12 +454,15 @@ class SqliteBackend:
         deadline = time.time() + timeout
         while True:
             with self._lock, self._db:
+                user = self._fair_user(stream)
                 row = self._db.execute(
-                    "SELECT job_id, task_id, definition, prereqs, retries, "
-                    "max_retries, timeout_secs, priority, created_at "
-                    "FROM tasks WHERE stream=? AND state='ready' "
-                    "ORDER BY priority DESC, created_at LIMIT 1",
-                    (stream,)).fetchone()
+                    "SELECT t.job_id, t.task_id, t.definition, t.prereqs, "
+                    "t.retries, t.max_retries, t.timeout_secs, t.priority, "
+                    "t.created_at FROM tasks t JOIN jobs j ON "
+                    "j.job_id = t.job_id WHERE t.stream=? AND "
+                    "t.state='ready' AND j.user=? "
+                    "ORDER BY t.priority DESC, t.created_at LIMIT 1",
+                    (stream, user)).fetchone() if user is not None else None
                 if row:
                     now = time.time()
                     self._db.execute(
@@ -469,10 +568,18 @@ class SqliteBackend:
     def job_state(self, job_id):
         with self._lock:
             row = self._db.execute(
-                "SELECT state, error, unresolved FROM jobs WHERE job_id=?",
-                (job_id,)).fetchone()
+                "SELECT state, error, unresolved, user FROM jobs "
+                "WHERE job_id=?", (job_id,)).fetchone()
             return dict(state=JobState(row[0]), error=row[1],
-                        unresolved=row[2])
+                        unresolved=row[2], user=row[3])
+
+    def job_user(self, job_id):
+        with self._lock:
+            row = self._db.execute(
+                "SELECT user FROM jobs WHERE job_id=?", (job_id,)).fetchone()
+            if row is None:
+                raise KeyError(job_id)
+            return row[0]
 
     def task_output(self, job_id, task_id):
         with self._lock:

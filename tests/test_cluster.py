@@ -176,3 +176,37 @@ def test_aux_agent_runs_maintenance_crons():
     aux.stop()
     assert got is not None and got.task_id == t.task_id  # requeued
     assert ctx.hot.get("ephemeral") is None  # TTL purged
+
+
+@pytest.mark.parametrize("backend_cls", [MemoryBackend, SqliteBackend])
+def test_taskdb_fair_share(backend_cls):
+    """Per-user reserved share + best-effort weights (reference
+    `reserved`/`be_mult`, bento 1_taskdb.sql:24-48)."""
+    db = backend_cls()
+    db.set_user_quota("alice", reserved=2, be_mult=1.0)
+    db.set_user_quota("bob", reserved=0, be_mult=3.0)
+    jobs = {}
+    for user in ("alice", "bob"):
+        jobs[user] = db.create_job("prove", {"kind": "prove"}, user=user)
+        for i in range(6):
+            db.create_task(jobs[user], f"t{i}", "prove", {"i": i}, [])
+
+    # alice's reserve wins the first two claims even though bob queued too
+    first = [db.request_work("prove") for _ in range(2)]
+    users = [ "alice" if t.job_id == jobs["alice"] else "bob" for t in first]
+    assert users == ["alice", "alice"]
+    # past the reserve, best-effort: bob (be_mult 3) gets ~3x alice's share
+    rest = [db.request_work("prove") for _ in range(8)]
+    bob_n = sum(1 for t in rest if t.job_id == jobs["bob"])
+    assert bob_n >= 5  # 3:1 weighting over 8 claims (6 bob + 2 alice)
+
+
+def test_taskdb_fair_share_single_user_fifo():
+    """Quota machinery is inert for a single user: strict priority+FIFO."""
+    db = MemoryBackend()
+    job = db.create_job("prove", {"kind": "prove"})
+    for i in range(3):
+        db.create_task(job, f"t{i}", "prove", {"i": i}, [])
+    db.request_work("prove")  # init
+    order = [db.request_work("prove").task_id for _ in range(3)]
+    assert order == ["t0", "t1", "t2"]

@@ -246,3 +246,37 @@ def test_multiprocess_real_proof_session():
             p.kill()
             p.wait()
         server.shutdown()
+
+
+def test_api_keys_and_session_ownership():
+    """Per-user API keys (reference prover/crates/api/src/helpers.rs:16-24):
+    keyless requests are rejected; sessions are owned by the resolved
+    user; another user's key cannot read status or receipts."""
+    ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(),
+                         store=SharedFs(), ps=prove.TEST_PS,
+                         segment_po2=PO2, succinct=None)
+    api = ClusterApi(ctx, api_keys={"k-alice": "alice", "k-bob": "bob"})
+    server, thread = make_http_server(api)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        alice = BentoClient(url, api_key="k-alice")
+        bob = BentoClient(url, api_key="k-bob")
+        nobody = BentoClient(url)
+
+        image = guests.echo()
+        img_id = alice.upload_image("echo", image)
+        inp_id = alice.upload_input("i0", guests.words([2, 7, 9]))
+        sid = alice.create_session(img_id, inp_id, execute_only=True)
+        assert ctx.db.job_user(sid) == "alice"
+        # owner can read status; other keys cannot
+        assert alice.session_status(sid)["status"] in ("RUNNING", "SUCCEEDED")
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            bob.session_status(sid)
+        assert ei.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            nobody.create_session(img_id, inp_id)
+        assert ei.value.code == 401
+    finally:
+        server.shutdown()
