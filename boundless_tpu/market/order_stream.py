@@ -20,6 +20,7 @@ class OrderStream:
         self._subs: List[Callable] = []
         self._orders: list = []
         self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
         self.heartbeats: dict = {}  # address -> last heartbeat ts
 
     def submit(self, request: ProofRequest, signature: bytes):
@@ -28,11 +29,20 @@ class OrderStream:
         # (`crates/order-stream/src/lib.rs` ECDSA-authenticated submit).
         if not verify_signature(request, signature):
             raise PermissionError("bad order signature")
-        with self._lock:
+        with self._cond:
             self._orders.append((request, signature))
             subs = list(self._subs)
+            self._cond.notify_all()
         for cb in subs:
             cb(request, signature)
+
+    def wait_orders(self, index: int, timeout: float = 10.0):
+        """Orders after `index`, blocking up to `timeout` for new ones
+        (the WS push loop's wake-up; reference broadcast channel)."""
+        with self._cond:
+            if len(self._orders) <= index:
+                self._cond.wait(timeout)
+            return self._orders[index:]
 
     def subscribe(self, callback: Callable):
         with self._lock:

@@ -196,3 +196,42 @@ def test_order_stream_http_roundtrip(world):
             osc.submit(req, b"\x00" * 65)
     finally:
         server.shutdown()
+
+
+def test_order_stream_websocket_push(world):
+    """WS subscription: replay from `since`, then live push on submit
+    (reference crates/order-stream WS broadcast)."""
+    import threading as _threading
+
+    from boundless_tpu.market.order_stream_http import (
+        OrderStreamClient, make_order_stream_server)
+    from boundless_tpu.market.types import sign_request
+
+    chain, client, provider = world
+    stream = OrderStream()
+    server, thread = make_order_stream_server(stream)
+    thread.start()
+    try:
+        osc = OrderStreamClient(
+            f"http://127.0.0.1:{server.server_address[1]}")
+        r0 = client.build_request(guests.echo(), guests.words([1, 4]))
+        osc.submit(r0, sign_request(r0, ALICE))
+
+        got = []
+        done = _threading.Event()
+
+        def run():
+            for req, sig in osc.subscribe_ws(since=0, max_orders=2):
+                got.append((req, sig))
+            done.set()
+
+        t = _threading.Thread(target=run, daemon=True)
+        t.start()
+        time.sleep(0.3)  # subscriber sees the replayed r0 first
+        r1 = client.build_request(guests.echo(), guests.words([1, 6]))
+        osc.submit(r1, sign_request(r1, ALICE))  # live push
+        assert done.wait(5.0), "WS subscriber did not receive both orders"
+        assert [r.id.index for r, _ in got] == [r0.id.index, r1.id.index]
+        assert got[1][1] == sign_request(r1, ALICE)
+    finally:
+        server.shutdown()
