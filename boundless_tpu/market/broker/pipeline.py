@@ -31,9 +31,29 @@ from ..types import Fulfillment, ProofRequest
 from ..client import LocalStorageProvider
 
 
+class PriceOracle:
+    """Native-token/USD rate source (reference broker's USD-denominated
+    `min_mcycle_price = "0.00002 USD"`, broker-template.toml:30, priced
+    through an ETH/USD oracle in order_pricer). `rate` is USD per native
+    token; a callable can track an on-chain feed."""
+
+    def __init__(self, usd_per_token=3000.0):
+        self._rate = usd_per_token
+
+    def usd_per_token(self) -> float:
+        return self._rate() if callable(self._rate) else float(self._rate)
+
+    def usd_to_wei(self, usd: float) -> int:
+        return int(usd / self.usd_per_token() * 1e18)
+
+
 @dataclasses.dataclass
 class BrokerConfig:
-    min_mcycle_price: int = 1  # reject orders priced below this per Mcycle
+    min_mcycle_price: int = 1  # floor in wei per Mcycle
+    # USD-denominated floor (reference broker-template.toml:30); when set
+    # (with an oracle) it overrides the wei floor.
+    min_mcycle_price_usd: Optional[float] = None
+    price_oracle: Optional[PriceOracle] = None
     peak_prove_khz: float = 100.0  # proving capacity model
     max_concurrent_preflights: int = 2
     max_concurrent_proofs: int = 2
@@ -137,6 +157,17 @@ class Broker:
                 time.sleep(0.1)
 
     # -- stages ---------------------------------------------------------
+    def _committed_backlog(self, deadline: float) -> int:
+        """Cycles already committed that must complete before `deadline`
+        (the reference's backlog term in the feasibility model)."""
+        total = 0
+        for o in self.orders.values():
+            if o.status in (OrderStatus.COMMITTED, OrderStatus.LOCKED,
+                            OrderStatus.PROVING) and o.cycles:
+                if o.request.offer.expires_at() <= deadline:
+                    total += o.cycles
+        return total
+
     def _ingest(self, request: ProofRequest):
         rid = request.id.encoded()
         if rid not in self.orders:
@@ -161,38 +192,54 @@ class Broker:
                 rid = self._evaluate_q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            order = self.orders[rid]
-            order.status = OrderStatus.PRICING
-            try:
-                with self._preflight_sem:
-                    image, input_data = self._fetch_assets(order.request)
-                    cycles = self.prover.preflight(image, input_data)
-                order.cycles = cycles
-                mcycles = max(1, cycles // 1_000_000)
-                price = self.chain.price_request(rid)
-                priority = (order.request.id.client
-                            in self.config.priority_requestors)
-                if not priority and \
-                        price < mcycles * self.config.min_mcycle_price:
-                    order.status = OrderStatus.SKIPPED
-                    order.error = "price below min_mcycle_price"
-                    self._persist(rid)
-                    continue
-                # deadline feasibility (reference service.rs:2300-2376 model)
-                secs_left = order.request.offer.expires_at() - self.clock()
-                provable = self.config.peak_prove_khz * 1000.0 * secs_left
-                if cycles > provable:
-                    order.status = OrderStatus.SKIPPED
-                    order.error = "deadline infeasible for peak_prove_khz"
-                    self._persist(rid)
-                    continue
-                order.price = price
-                order.status = OrderStatus.COMMITTED
+            self._evaluate_order(rid)
+
+    def _evaluate_order(self, rid):
+        """One order through preflight -> price floor -> deadline
+        feasibility; enqueues to commit on success (synchronous; the
+        evaluator thread loop drives it)."""
+        order = self.orders[rid]
+        order.status = OrderStatus.PRICING
+        try:
+            with self._preflight_sem:
+                image, input_data = self._fetch_assets(order.request)
+                cycles = self.prover.preflight(image, input_data)
+            order.cycles = cycles
+            mcycles = max(1, cycles // 1_000_000)
+            price = self.chain.price_request(rid)
+            priority = (order.request.id.client
+                        in self.config.priority_requestors)
+            floor = self.config.min_mcycle_price
+            if (self.config.min_mcycle_price_usd is not None
+                    and self.config.price_oracle is not None):
+                # USD floor through the oracle (broker-template:30)
+                floor = self.config.price_oracle.usd_to_wei(
+                    self.config.min_mcycle_price_usd)
+            if not priority and price < mcycles * floor:
+                order.status = OrderStatus.SKIPPED
+                order.error = "price below min_mcycle_price"
                 self._persist(rid)
-                self._commit_q.put(rid)
-            except Exception as e:  # noqa: BLE001
-                order.status = OrderStatus.FAILED
-                order.error = f"pricing: {e}"
+                return
+            # deadline feasibility against peak_prove_khz NET of the
+            # committed backlog due before this order's deadline
+            # (reference order_pricer/service.rs:2300-2376: scheduled
+            # work consumes capacity ahead of new commitments)
+            secs_left = order.request.offer.expires_at() - self.clock()
+            provable = self.config.peak_prove_khz * 1000.0 * secs_left
+            backlog = self._committed_backlog(
+                order.request.offer.expires_at())
+            if cycles + backlog > provable:
+                order.status = OrderStatus.SKIPPED
+                order.error = "deadline infeasible for peak_prove_khz"
+                self._persist(rid)
+                return
+            order.price = price
+            order.status = OrderStatus.COMMITTED
+            self._persist(rid)
+            self._commit_q.put(rid)
+        except Exception as e:  # noqa: BLE001
+            order.status = OrderStatus.FAILED
+            order.error = f"pricing: {e}"
 
     def _committer(self):
         """Commit + lock (committer + locker stages)."""

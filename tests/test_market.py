@@ -235,3 +235,64 @@ def test_order_stream_websocket_push(world):
         assert got[1][1] == sign_request(r1, ALICE)
     finally:
         server.shutdown()
+
+
+def test_broker_usd_price_oracle(world):
+    """USD-denominated floor through a price oracle (reference
+    broker-template.toml:30 `min_mcycle_price = "0.00002 USD"`)."""
+    from boundless_tpu.market.broker.pipeline import PriceOracle
+
+    chain, client, provider = world
+    # $3000/token; $1 per Mcycle floor -> ~3.3e14 wei per Mcycle, far
+    # above the default test offers -> order must be skipped.
+    cfg = BrokerConfig(min_mcycle_price=0, min_mcycle_price_usd=1.0,
+                       price_oracle=PriceOracle(3000.0))
+    assert cfg.price_oracle.usd_to_wei(1.0) == int(1e18 / 3000)
+    broker = Broker(chain, MockProver(), "prover1", cfg, storage=provider)
+    broker.start()
+    try:
+        req = client.build_request(guests.echo(), guests.words([0]))
+        rid = client.submit_onchain(req)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            order = broker.orders.get(rid)
+            if order and order.status in (OrderStatus.SKIPPED,
+                                          OrderStatus.FAILED):
+                break
+            time.sleep(0.05)
+        assert broker.orders[rid].status == OrderStatus.SKIPPED
+        assert "min_mcycle_price" in broker.orders[rid].error
+    finally:
+        broker.stop()
+
+
+def test_broker_backlog_deadline_feasibility(world):
+    """Committed backlog consumes peak_prove_khz capacity: an order that
+    fits alone is infeasible once earlier commitments fill the window
+    (reference order_pricer/service.rs:2300-2376). Evaluated
+    synchronously so the reaper can't cancel the synthetic backlog."""
+    from boundless_tpu.market.broker.pipeline import Order
+
+    chain, client, provider = world
+    cfg = BrokerConfig(min_mcycle_price=0, peak_prove_khz=1.0)
+    broker = Broker(chain, MockProver(), "prover1", cfg, storage=provider)
+    blocker = client.build_request(guests.echo(), guests.words([0]))
+    req = client.build_request(guests.echo(), guests.words([0]))
+    rid = client.submit_onchain(req)
+    secs_left = req.offer.expires_at() - time.time()
+    cap = cfg.peak_prove_khz * 1000.0 * secs_left
+
+    # feasible with no backlog
+    broker._ingest(req)
+    broker._evaluate_order(rid)
+    assert broker.orders[rid].status == OrderStatus.COMMITTED
+
+    # a committed order due earlier fills the window -> infeasible now
+    b = Order(request=blocker, status=OrderStatus.COMMITTED,
+              cycles=int(2 * cap))
+    broker.orders[blocker.id.encoded()] = b
+    assert broker._committed_backlog(req.offer.expires_at()) >= int(cap)
+    broker.orders[rid].status = OrderStatus.NEW
+    broker._evaluate_order(rid)
+    assert broker.orders[rid].status == OrderStatus.SKIPPED
+    assert "deadline infeasible" in broker.orders[rid].error
