@@ -104,3 +104,50 @@ def test_metrics_registry():
     text = r.render()
     assert 'tasks_total{stream="prove"} 3.0' in text
     assert 'dur_seconds_count{stream="prove"} 1' in text
+
+
+def test_indexer_service_durable_resume(tmp_path):
+    """Persistent indexer: aggregates in sqlite, restart resumes from the
+    block cursor without double counting (reference crates/indexer +
+    indexer-api lambdas)."""
+    import json
+    import urllib.request as _url
+
+    from boundless_tpu.market.indexer_service import (IndexerService,
+                                                      make_indexer_server)
+
+    t = [1000.0]
+    chain = _mk_chain(lambda: t[0])
+    db = str(tmp_path / "indexer.db")
+    idx = IndexerService(chain, db)
+    req = _mk_request(1)
+    chain.submit_request(req, sign_request(req, ALICE))
+    assert idx.sync() >= 1
+    assert idx.stats()["total_requests"] == 1
+
+    # restart from the same DB: no double counting, new events indexed
+    idx2 = IndexerService(chain, db)
+    assert idx2.stats()["total_requests"] == 1
+    req2 = _mk_request(2)
+    chain.submit_request(req2, sign_request(req2, ALICE))
+    chain.lock_request(req2.id.encoded(), "prover1")
+    chain.fulfill([Fulfillment(request_id=req2.id, journal=b"x",
+                               claim_digest=b"c" * 32, seal=None,
+                               prover="prover1")])
+    idx2.sync()
+    st = idx2.stats()
+    assert st["total_requests"] == 2 and st["total_fulfilled"] == 1
+    assert idx2.requestors()[ALICE.address] == 2
+    assert idx2.provers()["prover1"] == 1
+
+    # lambda-API surface
+    server, thread = make_indexer_server(idx2)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        stats = json.loads(_url.urlopen(base + "/stats").read())
+        assert stats["total_requests"] == 2
+        evs = json.loads(_url.urlopen(base + "/events?since=0").read())
+        assert len(evs["events"]) >= 2
+    finally:
+        server.shutdown()
