@@ -63,3 +63,65 @@ def test_broker_telemetry_snapshots():
     assert len(tel.snapshots) >= 3
     assert stream.beats and stream.beats[0] == "p1"
     assert tel.snapshots[0]["total"] == 0
+
+
+def test_emission_schedule_decay_and_split():
+    from boundless_tpu.market.povw import EmissionSchedule
+
+    s = EmissionSchedule(initial_epoch_emission=1_000_000,
+                         decay_num=999, decay_den=1000, povw_bps=7500)
+    assert s.emissions_for_epoch(0) == 1_000_000
+    assert s.emissions_for_epoch(1) == 999_000
+    assert s.emissions_for_epoch(2) == 998_001
+    assert s.povw_emissions(0) == 750_000
+    assert s.staking_emissions(0) == 250_000
+    assert (s.povw_emissions(5) + s.staking_emissions(5)
+            == s.emissions_for_epoch(5))
+
+
+def test_staking_ledger_delegation_and_rewards():
+    from boundless_tpu.market.povw import EmissionSchedule, StakingLedger
+
+    led = StakingLedger()
+    led.stake("alice", 300)
+    led.stake("bob", 100)
+    led.delegate_rewards("bob", "carol")
+    led.delegate_votes("alice", "bob")
+    led.snapshot_epoch(1)
+    # vote power folds onto delegates
+    assert led.vote_powers(1) == {"bob": 400}
+    # staking rewards pro-rata, paid to rewards delegates
+    r = led.staking_rewards(1, 1000)
+    assert r == {"alice": 750, "carol": 250}
+    # withdrawing stake has no power in later snapshots
+    led.initiate_unstake("alice")
+    led.snapshot_epoch(2)
+    assert led.staking_rewards(2, 1000) == {"carol": 1000}
+    assert led.complete_unstake("alice") == 300
+
+
+def test_povw_rewards_stake_cap():
+    from boundless_tpu.market.povw import (EmissionSchedule, PovwRewards,
+                                           StakingLedger, WorkLog)
+
+    t = [0.0]
+    log = WorkLog(epoch_seconds=10.0, clock=lambda: t[0])
+    led = StakingLedger()
+    led.stake("p1", 1_000_000)  # heavily staked: uncapped
+    led.stake("p2", 100)        # barely staked: capped
+    led.snapshot_epoch(0)
+    log.record("p1", 600, b"c1")
+    log.record("p2", 400, b"c2")
+    t[0] = 15.0  # epoch 0 closed
+    pr = PovwRewards(log, led,
+                     EmissionSchedule(initial_epoch_emission=1_000_000,
+                                      povw_bps=10_000))
+    out = pr.compute_epoch(0)
+    assert out["p1"].proportional_rewards == 600_000
+    assert not out["p1"].is_capped
+    assert out["p2"].proportional_rewards == 400_000
+    assert out["p2"].is_capped and out["p2"].capped_rewards == 100
+    # double mint rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pr.compute_epoch(0)
