@@ -264,6 +264,8 @@ def _pack(alg, gamma, dpows, tag: int, comps_group):
     """gamma - (tag + Σ_j delta^{j+1} * x_j); comps_group is a group."""
     if isinstance(comps_group, list):  # wire algebra (recursion circuit)
         g = len(comps_group)
+    elif hasattr(alg, "gsize"):  # transposed kernel algebra (pallas_eval)
+        g = alg.gsize(comps_group)
     else:
         g = comps_group.shape[-1] if not alg.is_ext else comps_group.shape[0]
     base = alg.esub(gamma, alg.ext_const([tag, 0, 0, 0]))
@@ -504,6 +506,21 @@ class _TraceRows:
 # ---------------------------------------------------------------------------
 
 
+class _KernelPub:
+    """Boundary publics as sliced views of the kernel's small operand.
+
+    Only the leaves `constraints` reads directly; io/mem enter solely via
+    the precomputed S_pub (rv32im `public_logup_sum` is row-independent).
+    """
+
+    __slots__ = ("pre_pc", "post_pc", "halted", "pre_seqs", "post_seqs",
+                 "pre_regs", "post_regs")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 class Rv32imAir(dsl.Air):
     ctrl_cols = CC.total
     accum_cols = AC.total
@@ -516,6 +533,35 @@ class Rv32imAir(dsl.Air):
         self.dc = DC if with_m else DC_I
         self.name = "rv32im" if with_m else "rv32i"
         self.data_cols = self.dc.total
+
+    # --- fused constraint-kernel hooks (air/pallas_eval.py) ---
+    # The kernel evaluates `constraints` under a transposed in-VMEM
+    # algebra; row-independent public inputs travel as one small vector.
+    pallas_cons_ok = True
+    PUB_VEC_WORDS = 256  # padded small-operand vector length
+
+    def pallas_pub_pack(self, pub: "PublicValues", globals_):
+        """Flatten (globals, S_pub, boundary publics) -> (256,) u32."""
+        s_pub = public_logup_sum(pub, globals_[0], globals_[1])
+        parts = [jnp.ravel(jnp.asarray(globals_)).astype(jnp.uint32),
+                 jnp.ravel(s_pub).astype(jnp.uint32)]
+        for leaf in (pub.pre_pc, pub.post_pc, pub.halted, pub.pre_seqs,
+                     pub.post_seqs, pub.pre_regs, pub.post_regs):
+            parts.append(jnp.ravel(jnp.asarray(leaf)).astype(jnp.uint32))
+        flat = jnp.concatenate(parts)
+        assert flat.shape[0] <= self.PUB_VEC_WORDS
+        return jnp.pad(flat, (0, self.PUB_VEC_WORDS - flat.shape[0]))
+
+    def pallas_pub_unpack(self, sm):
+        """(256,) operand -> (globals list, pub view, S_pub) in-kernel."""
+        globals_list = [sm[4 * i : 4 * i + 4].reshape(4, 1, 1)
+                        for i in range(2)]
+        s_pub = sm[8:12].reshape(4, 1, 1)
+        pub = _KernelPub(
+            pre_pc=sm[12], post_pc=sm[13], halted=sm[14],
+            pre_seqs=sm[15:18], post_seqs=sm[18:21],
+            pre_regs=sm[21:85], post_regs=sm[85:149])
+        return globals_list, pub, s_pub
 
     def accum_trace(self, ctrl, data, globals_):
         gamma, delta = globals_[0], globals_[1]
@@ -1206,6 +1252,10 @@ class Rv32imAir(dsl.Air):
         c.append(ExtVal(alg.escale(alg.esub(R_now, t_now), is_first)))
         if getattr(alg, "is_prog", False):
             s_pub = _public_logup_sum_prog(alg, pub, gamma, delta)
+        elif getattr(alg, "s_pub_const", None) is not None:
+            # precomputed outside the kernel (row-independent value; the
+            # pallas_eval constraint kernel passes it in as an operand)
+            s_pub = alg.s_pub_const
         else:
             s_pub = public_logup_sum(pub, gamma, delta)
         c.append(ExtVal(alg.escale(

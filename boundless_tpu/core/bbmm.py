@@ -87,18 +87,40 @@ def bb_weighted_sum(values, weights):
     return out
 
 
-def _bb_ws_chunk(values, weights):
-    m, k = values.shape
+def bb_weighted_sum_t(values_t, weights):
+    """bb_weighted_sum for transposed values: (K, M) @ weights (K, W).
+
+    Identical accumulation order/fold as bb_weighted_sum (bit-identical
+    result); avoids an HBM transpose when the values already live
+    row-major by column (the Pallas constraint-eval kernel's output).
+    """
+    k, m = values_t.shape
+    k2, w = weights.shape
+    assert k == k2
+    out = None
+    for k0 in range(0, k, K_CHUNK):
+        k1 = min(k0 + K_CHUNK, k)
+        part = _bb_ws_chunk(values_t[k0:k1], weights[k0:k1], transposed=True)
+        out = part if out is None else F.add(out, part)
+    return out
+
+
+def _bb_ws_chunk(values, weights, transposed: bool = False):
+    if transposed:
+        k, m = values.shape
+    else:
+        m, k = values.shape
     w = weights.shape[1]
-    va = _limbs_i8(values)  # (L, M, K)
+    va = _limbs_i8(values)  # (L, M, K) or (L, K, M) when transposed
     wb = _limbs_i8(weights)  # (L, K, W)
     # rhs: stack B-limbs along the output axis -> (K, L*W), broadcast to
     # every A-limb batch slot.
     rhs = jnp.moveaxis(wb, 0, 1).reshape(k, LIMBS * w)  # (K, L*W)
     rhs = jnp.broadcast_to(rhs[None], (LIMBS, k, LIMBS * w))
+    contract = ((1,), (1,)) if transposed else ((2,), (1,))
     prod = jax.lax.dot_general(
         va, rhs,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(contract, ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )  # (L, M, L*W): prod[l, :, m*W+j] = Σ_k A_l B_m
     prod = prod.reshape(LIMBS, m, LIMBS, w).astype(_U32)

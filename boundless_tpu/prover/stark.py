@@ -361,18 +361,29 @@ def prove(air: Air, data_trace, pub, po2: int,
             return None
         return jnp.roll(evals, -shiftrows, axis=0) if shiftrows else evals
 
-    now = Columns(
-        ctrl=_ColAccessor(ctrl_evals if has_ctrl else None),
-        data=_ColAccessor(data_evals),
-        accum=_ColAccessor(accum_evals if has_accum else None),
-    )
-    nxt = Columns(
-        ctrl=_ColAccessor(col_view(ctrl_evals if has_ctrl else None, INV_RATE)),
-        data=_ColAccessor(col_view(data_evals, INV_RATE)),
-        accum=_ColAccessor(col_view(accum_evals if has_accum else None, INV_RATE)),
-    )
-    cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
-    combined = combine_constraints(cons, alpha, at_deep=False)  # (4N, 4)
+    from ..air import pallas_eval
+
+    if (pallas_eval.enabled() and getattr(air, "pallas_cons_ok", False)
+            and has_ctrl and has_accum):
+        # Fused VMEM constraint kernel + MXU α-combine (same field values;
+        # docs/ROOFLINE.md for the HBM-materialisation analysis).
+        combined = pallas_eval.combined_eval(
+            air, ctrl_evals, data_evals, accum_evals, globals_, pub, alpha)
+    else:
+        now = Columns(
+            ctrl=_ColAccessor(ctrl_evals if has_ctrl else None),
+            data=_ColAccessor(data_evals),
+            accum=_ColAccessor(accum_evals if has_accum else None),
+        )
+        nxt = Columns(
+            ctrl=_ColAccessor(col_view(ctrl_evals if has_ctrl else None,
+                                       INV_RATE)),
+            data=_ColAccessor(col_view(data_evals, INV_RATE)),
+            accum=_ColAccessor(col_view(accum_evals if has_accum else None,
+                                        INV_RATE)),
+        )
+        cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
+        combined = combine_constraints(cons, alpha, at_deep=False)  # (4N, 4)
     _, inv_z = _domain_tables(n)
     q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
 
