@@ -128,6 +128,31 @@ def _mont_reduce_bb(hi, lo):
 _REDUCE_IMPL = os.environ.get("BT_MONT_REDUCE", "bb")
 _mont_reduce = _mont_reduce_bb if _REDUCE_IMPL == "bb" else _mont_reduce_generic
 
+# --- 64-bit Montgomery product (host/CPU path) ------------------------------
+# The TPU has no 64-bit integer multiply, so the default `mul` builds the
+# wide product from 16x16 partials (~30 traced ops). On CPU (tests, the
+# driver's virtual-mesh dryrun) a native uint64 product computes the exact
+# same Montgomery result in ~13 ops — halving the traced graph of
+# constraint-heavy provers and, with it, XLA CPU compile time. Enable with
+# `enable_u64()` (requires jax x64 mode); results are bit-identical.
+
+_USE_U64 = False
+
+
+def enable_u64():
+    """Switch `mul` to the uint64 Montgomery product (CPU only)."""
+    global _USE_U64
+    jax.config.update("jax_enable_x64", True)
+    _USE_U64 = True
+
+
+def _mul_u64(a, b):
+    wide = a.astype(jnp.uint64) * b.astype(jnp.uint64)
+    m = wide.astype(_U32) * _u32c(NP)  # low 32 bits of wide, times NP
+    t = (wide + m.astype(jnp.uint64) * np.uint64(P)) >> np.uint64(32)
+    t32 = t.astype(_U32)  # t < 2P < 2^32: exact
+    return jnp.where(t32 >= _u32c(P), t32 - _u32c(P), t32)
+
 
 def mont_reduce(hi, lo):
     """Montgomery reduction of a 64-bit value (hi*2^32 + lo) -> value*R^{-1} mod P.
@@ -140,6 +165,8 @@ def mont_reduce(hi, lo):
 
 def mul(a, b):
     """Montgomery product: (a * b * R^{-1}) mod P."""
+    if _USE_U64:
+        return _mul_u64(jnp.asarray(a), jnp.asarray(b))
     hi, lo = mul32_wide(a.astype(_U32), b.astype(_U32))
     return mont_reduce(hi, lo)
 

@@ -24,3 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/bt_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# uint64 Montgomery products on CPU: bit-identical field math, ~2.6x
+# smaller traced graphs, >8x faster XLA CPU compiles (core/field.py).
+# BT_FIELD_U64=0 opts out (to exercise the exact TPU 16x16-partial path).
+if os.environ.get("BT_FIELD_U64", "1") != "0":
+    from boundless_tpu.core import field as _field  # noqa: E402
+
+    _field.enable_u64()
