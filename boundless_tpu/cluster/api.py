@@ -69,21 +69,35 @@ class ClusterApi:
         try:
             owner = self.ctx.db.job_user(job_id)
         except KeyError:
-            return  # job GC'd; receipt fallback path decides
+            # Job GC'd: fall back to the durable owner record written at
+            # create time. Unknown job => deny (an allow here would let
+            # any key read other users' post-GC receipts).
+            rec = self.ctx.store.get_bytes("job_owners", job_id)
+            owner = rec.decode() if rec is not None else None
+            if owner is None:
+                raise PermissionError("unknown job") from None
         if owner != user:
             raise PermissionError("not the session owner")
 
+    def _record_owner(self, job_id: str, user: str):
+        """Durable owner record so ownership survives taskdb job GC."""
+        if self.api_keys is not None:
+            self.ctx.store.put_bytes("job_owners", job_id, user.encode())
+
     # -- uploads --------------------------------------------------------
-    def upload_image(self, image_id: str, body: bytes):
+    def upload_image(self, image_id: str, body: bytes,
+                     user: str = "default"):
         """Accepts the safe BTIM wire format (never pickle: untrusted
-        input; see utils/serde.py)."""
+        input; see utils/serde.py). `user` must already be resolved via
+        resolve_user (authn enforced at the transport layer)."""
         from ..utils import serde
 
         img = serde.load_image(body)
         self.ctx.store.put("elfs", image_id, img)
         return {"ok": True, "image_id": image_id}
 
-    def upload_input(self, input_id: str, body: bytes):
+    def upload_input(self, input_id: str, body: bytes,
+                     user: str = "default"):
         self.ctx.store.put_bytes("inputs", input_id, body)
         return {"ok": True, "input_id": input_id}
 
@@ -99,6 +113,7 @@ class ClusterApi:
                                               self.ctx.exec_cycle_limit))),
             user=user,
             priority=Priority(int(req.get("priority", Priority.MEDIUM))))
+        self._record_owner(job_id, user)
         return {"uuid": job_id}
 
     def session_status(self, job_id: str, user: str = "default") -> dict:
@@ -134,7 +149,8 @@ class ClusterApi:
     def receipt_obj(self, job_id: str):
         return self.ctx.store.get("receipts/stark", job_id)
 
-    def journal(self, job_id: str):
+    def journal(self, job_id: str, user: str = "default"):
+        self._check_owner(job_id, user)
         return self.ctx.store.get_bytes("preflight_journals", job_id)
 
     # -- snark ----------------------------------------------------------
@@ -144,6 +160,7 @@ class ClusterApi:
             "snark", dict(kind="snark", source_job=req["session_id"],
                           compress=req.get("compress", "groth16")),
             user=user)
+        self._record_owner(job_id, user)
         return {"uuid": job_id}
 
     # -- cross-process worker plane --------------------------------------
@@ -335,9 +352,11 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                 return self._send(401, {"error": "unauthorized"})
             try:
                 if parts[:2] == ["images", "upload"]:
-                    self._send(200, api.upload_image(parts[2], self._body()))
+                    self._send(200, api.upload_image(parts[2], self._body(),
+                                                     self._user()))
                 elif parts[:2] == ["inputs", "upload"]:
-                    self._send(200, api.upload_input(parts[2], self._body()))
+                    self._send(200, api.upload_input(parts[2], self._body(),
+                                                     self._user()))
                 elif parts[:2] == ["workers", "hot"]:
                     key = "/".join(parts[2:])
                     ttl = self.headers.get("X-TTL")
@@ -350,6 +369,8 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                         qs.get("mode", "obj")))
                 else:
                     self._send(404, {"error": "not found"})
+            except PermissionError as e:
+                self._send(401, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
@@ -411,7 +432,7 @@ def make_http_server(api: ClusterApi, host="127.0.0.1", port=0, token=None,
                     else:
                         self._send(200, data, "application/octet-stream")
                 elif parts[:1] == ["journal"]:
-                    data = api.journal(parts[1])
+                    data = api.journal(parts[1], self._user())
                     if data is None:
                         self._send(404, {"error": "no journal"})
                     else:

@@ -161,7 +161,7 @@ class Broker:
         """Cycles already committed that must complete before `deadline`
         (the reference's backlog term in the feasibility model)."""
         total = 0
-        for o in self.orders.values():
+        for o in list(self.orders.values()):
             if o.status in (OrderStatus.COMMITTED, OrderStatus.LOCKED,
                             OrderStatus.PROVING) and o.cycles:
                 if o.request.offer.expires_at() <= deadline:

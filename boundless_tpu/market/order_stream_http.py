@@ -147,7 +147,14 @@ def make_order_stream_server(stream: OrderStream, host="127.0.0.1", port=0):
             cursor = 0
             if "since=" in self.path:
                 cursor = int(self.path.split("since=")[1].split("&")[0])
-            self.connection.settimeout(0.05)
+            import select as _select
+
+            # Reads are select-gated: ws_decode_frame only starts once the
+            # socket is readable, and then blocks until the frame is
+            # complete — a poll timeout can never desync the frame stream
+            # mid-header. Writes (incl. large replays) are guarded by the
+            # outer OSError catch.
+            self.connection.settimeout(None)
             try:
                 while True:
                     batch = stream.wait_orders(cursor, timeout=0.25)
@@ -157,13 +164,13 @@ def make_order_stream_server(stream: OrderStream, host="127.0.0.1", port=0):
                         self.wfile.write(ws_encode_text(msg))
                     cursor += len(batch)
                     # drain client frames; close on opcode 8 / EOF
-                    try:
+                    ready, _, _ = _select.select([self.connection], [], [],
+                                                 0)
+                    if ready:
                         frame = ws_decode_frame(self.rfile)
                         if frame is None or frame[0] == 8:
                             break
-                    except OSError:
-                        pass  # read timeout: no client frame, keep pushing
-            except (BrokenPipeError, ConnectionResetError):
+            except (BrokenPipeError, ConnectionResetError, OSError):
                 pass
 
         def do_GET(self):

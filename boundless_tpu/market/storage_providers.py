@@ -97,8 +97,21 @@ def _sigv4_headers(method: str, url: str, region: str, access_key: str,
     datestamp = now.strftime("%Y%m%d")
     payload_hash = hashlib.sha256(payload or b"").hexdigest()
 
-    canonical_uri = urllib.parse.quote(u.path or "/", safe="/-_.~")
-    canonical_query = "&".join(sorted(u.query.split("&"))) if u.query else ""
+    # The wire path is already RFC3986-encoded exactly once by the URL
+    # builder; for S3 the canonical URI is that path VERBATIM (re-quoting
+    # would double-encode '%' and break the signature on any key that
+    # needs encoding). Query params are URI-encoded per the SigV4 spec
+    # and sorted by encoded key, then value.
+    canonical_uri = u.path or "/"
+    if u.query:
+        enc = lambda s: urllib.parse.quote(urllib.parse.unquote(s),
+                                           safe="-_.~")
+        pairs = sorted(
+            (enc(k), enc(v)) for k, _, v in
+            (part.partition("=") for part in u.query.split("&") if part))
+        canonical_query = "&".join(f"{k}={v}" for k, v in pairs)
+    else:
+        canonical_query = ""
     signed_headers = "host;x-amz-content-sha256;x-amz-date"
     canonical_headers = (f"host:{host}\n"
                          f"x-amz-content-sha256:{payload_hash}\n"
