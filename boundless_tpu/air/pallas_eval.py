@@ -93,13 +93,46 @@ def t_ext_mul(a, b):
 class TAlg:
     """Transposed in-kernel algebra: scalars (SB, 128), groups
     (G, SB, 128), extension values (4, SB, 128). Implements the same
-    surface as `dsl.BaseAlg` (constraints code is agnostic)."""
+    surface as `dsl.BaseAlg` (constraints code is agnostic).
+
+    Constant tables (gconst/ext_const weight vectors) cannot live in the
+    kernel: Pallas rejects ANY captured array constant ("captures
+    constants [...] pass them as inputs"), numpy or jnp alike. They ride
+    a packed operand instead, in two phases sharing this class:
+
+      * collect mode (`collect=[]`): an abstract `jax.eval_shape` pass of
+        the kernel body records every requested table (np Montgomery
+        arrays, in call order) and computes with the np values directly;
+      * consume mode (`consume=iter(...)`): the real kernel pops the
+        matching slice of the packed const operand for each request —
+        the constraints code is deterministic, so call order matches.
+
+    Scalar-shaped constants (`const`/`one`/`zero`) stay np scalars
+    (Mosaic literals). Zero/broadcast tiles derive from `self._zero`, a
+    kernel-input-derived zero tile, never from `jnp.zeros` (which would
+    be a capture)."""
 
     is_ext = False
 
-    def __init__(self, sb: int):
+    def __init__(self, sb: int, collect=None, consume=None):
         self.sb = sb
         self.s_pub_const = None
+        self._collect = collect
+        self._consume = consume
+        # (sb, 128) zero tile; consumers must set this from an input-
+        # derived value before running kernel code (see _cons_kernel).
+        self._zero = None
+
+    def _table(self, arr_int64, shape):
+        """Register/fetch a Montgomery constant table of `shape`."""
+        if self._consume is not None:
+            return next(self._consume).reshape(shape)
+        tab = np.asarray(
+            (np.asarray(arr_int64, dtype=np.int64) % F.P) * (1 << 32) % F.P,
+            dtype=np.uint32)
+        if self._collect is not None:
+            self._collect.append(tab.ravel())
+        return tab.reshape(shape)
 
     # --- base ops ---
     add = staticmethod(F.add)
@@ -117,13 +150,17 @@ class TAlg:
         return np.uint32(0)
 
     def _full(self, x):
+        # `+ zero-tile` (plain uint32 add of 0: value-preserving) keeps
+        # np-scalar inputs from materialising as captured constants.
+        if self._zero is not None:
+            return self._zero + jnp.asarray(x, _U32)
         return jnp.broadcast_to(jnp.asarray(x, _U32), (self.sb, 128))
 
     # --- ext ops (leading axis 4) ---
     def lift(self, b):
         b = self._full(b)
-        return jnp.concatenate(
-            [b[None], jnp.zeros((3, self.sb, 128), _U32)], axis=0)
+        z = b * _U32(0)
+        return jnp.stack([b, z, z, z], axis=0)
 
     emul = staticmethod(t_ext_mul)
     eadd = staticmethod(t_ext_add)
@@ -143,11 +180,10 @@ class TAlg:
         return jnp.asarray(x, _U32)
 
     def ext_const(self, vec):
-        arr = (np.asarray(vec, dtype=np.int64) % F.P) * (1 << 32) % F.P
-        return jnp.asarray(arr, _U32).reshape(4, 1, 1)
+        return self._table(vec, (4, 1, 1))
 
     def ext_powers(self, x, n: int):
-        x = jnp.broadcast_to(jnp.asarray(x, _U32), (4, 1, 1))
+        x = jnp.reshape(jnp.asarray(x, _U32), (4, 1, 1))
         pows = [self.ext_const([1, 0, 0, 0])]
         for _ in range(n - 1):
             pows.append(t_ext_mul(pows[-1], x))
@@ -172,8 +208,7 @@ class TAlg:
         return group.shape[0]
 
     def gconst(self, vec):
-        arr = (np.asarray(vec, dtype=np.int64) % F.P) * (1 << 32) % F.P
-        return jnp.asarray(arr, _U32).reshape(-1, 1, 1)
+        return self._table(vec, (len(np.asarray(vec).ravel()), 1, 1))
 
     def gsum(self, x):
         return F.sum_mod(x, axis=0)
@@ -189,13 +224,13 @@ class TAlg:
         if not s:
             return x
         g = x.shape[0]
-        z = jnp.zeros((s,) + x.shape[1:], _U32)
+        z = jnp.broadcast_to(x[:1] * _U32(0), (s,) + x.shape[1:])
         return jnp.concatenate([z, x[: g - s]], axis=0)
 
     def gshift_srl(self, x, s):
         if not s:
             return x
-        z = jnp.zeros((s,) + x.shape[1:], _U32)
+        z = jnp.broadcast_to(x[:1] * _U32(0), (s,) + x.shape[1:])
         return jnp.concatenate([x[s:], z], axis=0)
 
     def gshift_sra(self, x, s):
@@ -310,17 +345,15 @@ def _alpha_weight_rows(kinds, alpha):
 # ---------------------------------------------------------------------------
 
 
-def _cons_kernel(data_ref, datan_ref, ctrl_ref, ctrln_ref, acc_ref,
-                 accn_ref, sm_ref, out_ref, *, air, sb):
+def _kernel_body(alg, air, data, datan, ctrl, ctrln, acc, accn, sm):
+    """Shared constraint-eval body: runs in the real kernel (consume
+    mode) and in the abstract const-collection pass (collect mode)."""
     from ..prover import stark
 
-    alg = TAlg(sb)
-    globals_list, pub, s_pub = air.pallas_pub_unpack(sm_ref[0])
+    globals_list, pub, s_pub = air.pallas_pub_unpack(sm)
     alg.s_pub_const = s_pub
-    now = Columns(ctrl=_TAcc(ctrl_ref[0]), data=_TAcc(data_ref[0]),
-                  accum=_TAcc(acc_ref[0]))
-    nxt = Columns(ctrl=_TAcc(ctrln_ref[0]), data=_TAcc(datan_ref[0]),
-                  accum=_TAcc(accn_ref[0]))
+    now = Columns(ctrl=_TAcc(ctrl), data=_TAcc(data), accum=_TAcc(acc))
+    nxt = Columns(ctrl=_TAcc(ctrln), data=_TAcc(datan), accum=_TAcc(accn))
     cons = air.constraints(alg, now, nxt, globals_list, pub)
     rows = []
     for c in cons:
@@ -328,7 +361,39 @@ def _cons_kernel(data_ref, datan_ref, ctrl_ref, ctrln_ref, acc_ref,
             rows.append(c.v)
         else:
             rows.append(alg._full(c)[None])
-    out_ref[0] = jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _cons_kernel(data_ref, datan_ref, ctrl_ref, ctrln_ref, acc_ref,
+                 accn_ref, sm_ref, ctab_ref, out_ref, *, air, sb, sizes):
+    flat = ctab_ref[0]
+    slices = []
+    off = 0
+    for n in sizes:
+        slices.append(flat[off : off + n])
+        off += n
+    alg = TAlg(sb, consume=iter(slices))
+    alg._zero = data_ref[0][0] * _U32(0)  # input-derived zero tile
+    out_ref[0] = _kernel_body(alg, air, data_ref[0], datan_ref[0],
+                              ctrl_ref[0], ctrln_ref[0], acc_ref[0],
+                              accn_ref[0], sm_ref[0])
+
+
+def _collect_consts(air, sb, shapes, sm_shape):
+    """Abstract pass recording the constant tables (np, call order)."""
+    tables = []
+
+    def probe(data, ctrl, acc, sm):
+        alg = TAlg(sb, collect=tables)
+        alg._zero = jnp.zeros((sb, 128), _U32)
+        _kernel_body(alg, air, data, data, ctrl, ctrl, acc, acc, sm)
+        return jnp.zeros(())
+
+    dshape, cshape, ashape = shapes
+    sds = lambda c: jax.ShapeDtypeStruct((c, sb, 128), _U32)
+    jax.eval_shape(probe, sds(dshape), sds(cshape), sds(ashape),
+                   jax.ShapeDtypeStruct(sm_shape, _U32))
+    return tables
 
 
 def _lanes(x_t, sb: int):
@@ -366,24 +431,42 @@ def combined_eval(air, ctrl_evals, data_evals, accum_evals, globals_, pub,
         ops.append(_lanes(x.T, sb))
     small = air.pallas_pub_pack(pub, globals_)[None]  # (1, S)
 
+    # Constant tables: collected once per (air, layout, sb) and packed
+    # into one flat operand (Pallas rejects captured array constants).
+    ckey = (ctrl_evals.shape[1], data_evals.shape[1],
+            accum_evals.shape[1], sb, small.shape[1])
+    ccache = air.__dict__.setdefault("_pallas_consts", {})
+    if ckey not in ccache:
+        tables = _collect_consts(
+            air, sb, (data_evals.shape[1], ctrl_evals.shape[1],
+                      accum_evals.shape[1]), small.shape[1:])
+        sizes = tuple(int(t.size) for t in tables)
+        flat = (np.concatenate(tables) if tables
+                else np.zeros((1,), np.uint32))
+        ccache[ckey] = (sizes, flat)
+    sizes, ctab_np = ccache[ckey]
+    ctab = jnp.asarray(ctab_np)[None]  # (1, S2)
+
     g = m // (sb * 128)
     spec = lambda c: pl.BlockSpec((1, c, sb, 128), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
     sm_spec = pl.BlockSpec(small.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec(ctab.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_cons_kernel, air=air, sb=sb),
+        functools.partial(_cons_kernel, air=air, sb=sb, sizes=sizes),
         grid=(g,),
         in_specs=[spec(data_evals.shape[1]), spec(data_evals.shape[1]),
                   spec(ctrl_evals.shape[1]), spec(ctrl_evals.shape[1]),
                   spec(accum_evals.shape[1]), spec(accum_evals.shape[1]),
-                  sm_spec],
+                  sm_spec, ct_spec],
         out_specs=pl.BlockSpec((1, k_rows, sb, 128),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, k_rows, sb, 128), _U32),
         interpret=interpret,
-    )(*ops, small)
+    )(*ops, small, ctab)
 
     out_t = out.transpose(1, 0, 2, 3).reshape(k_rows, m)  # (K, M)
     weights = _alpha_weight_rows(kinds, alpha)  # (K, 4)
