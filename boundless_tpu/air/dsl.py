@@ -19,6 +19,7 @@ permutation accumulators built after the mix challenges are sampled.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import field as F
 
@@ -274,6 +275,159 @@ class ExtAlg:
     def gpub(self, vec):
         """Public base-field vector (G,) -> (G, 4) ext group."""
         return F.ext_from_base(vec)
+
+
+class DegreeAlg:
+    """Symbolic degree-bound algebra: values are multiplicative degrees.
+
+    A value is an int (or np int array for groups): the degree of the
+    constraint expression in trace-polynomial units (column reads = 1,
+    constants/publics/challenges = 0, mul adds, add/sub take max).
+    Running `Air.constraints` under this algebra yields a per-constraint
+    degree bound in microseconds (pure Python ints, no tracing) — used by
+    the prover to evaluate low-degree constraint families on the smaller
+    2N grid (`prover/stark.py`; deg <= 2 means deg C(T(x)) <= 2(N-1) <
+    2N, so 2N coset points determine the composition term exactly).
+
+    These are upper bounds (no cancellation modeling); the empirical
+    auditor (`air/degree.py`) remains the soundness check that no bound
+    is EXCEEDED."""
+
+    is_ext = False
+
+    def const(self, c):
+        return 0
+
+    @staticmethod
+    def add(a, b):
+        return np.maximum(a, b)
+
+    sub = add
+    eadd = add
+    esub = add
+    gadd = add
+    gsub = add
+
+    @staticmethod
+    def mul(a, b):
+        return np.add(a, b)
+
+    emul = mul
+    gmul = mul
+    escale = mul
+
+    @staticmethod
+    def neg(a):
+        return a
+
+    eneg = neg
+
+    def one(self):
+        return 0
+
+    def zero(self):
+        return 0
+
+    def lift(self, b):
+        return b
+
+    def read_ext(self, accessor, base_idx: int):
+        return max(int(np.max(accessor[base_idx + c])) for c in range(4))
+
+    def stack(self, items):
+        return np.array([int(np.max(x)) for x in items], dtype=np.int64)
+
+    def pubval(self, x):
+        return 0
+
+    def ext_const(self, vec):
+        return 0
+
+    def ext_powers(self, x, n: int):
+        return np.full(n, int(np.max(x)), dtype=np.int64) * np.arange(n)
+
+    def einv(self, e):
+        raise NotImplementedError("einv is not polynomial")
+
+    def bc(self, e, like):
+        return e
+
+    def B(self, s):
+        return s
+
+    def gconst(self, vec):
+        return np.zeros(len(np.asarray(vec).ravel()), dtype=np.int64)
+
+    def gsize(self, group):
+        return len(np.asarray(group).ravel())
+
+    def gsum(self, x):
+        return int(np.max(x))
+
+    def gweighted(self, x, w_vec):
+        return int(np.max(x))
+
+    def gweighted_ext(self, x, w_ext):
+        x = np.atleast_1d(np.asarray(x))
+        w = np.atleast_1d(np.asarray(w_ext))[: len(x)]
+        return int(np.max(x + w))
+
+    def gshift_sll(self, x, s):
+        x = np.atleast_1d(x)
+        return np.concatenate([np.zeros(s, np.int64), x[: len(x) - s]]) \
+            if s else x
+
+    def gshift_srl(self, x, s):
+        x = np.atleast_1d(x)
+        return np.concatenate([x[s:], np.zeros(s, np.int64)]) if s else x
+
+    def gshift_sra(self, x, s):
+        x = np.atleast_1d(x)
+        if not s:
+            return x
+        return np.concatenate([x[s:], np.full(s, x[-1])])
+
+    def gconcat(self, groups):
+        return np.concatenate([np.atleast_1d(g) for g in groups])
+
+    def gpub(self, vec):
+        return np.zeros(np.shape(vec)[0], dtype=np.int64)
+
+
+class DegreeCols:
+    """Column accessor for DegreeAlg: every read has degree 1."""
+
+    def __getitem__(self, i):
+        return 1
+
+    def block(self, idx):
+        if isinstance(idx, slice):
+            g = idx.stop - idx.start
+        else:
+            g = len(idx)
+        return np.ones(g, dtype=np.int64)
+
+
+def constraint_degrees(air, pub) -> list:
+    """Per-constraint degree bounds, aligned with air.constraints order.
+
+    Returns [int | np array] per constraint item (VecVal items yield
+    per-lane arrays). `pub` only supplies shapes."""
+    alg = DegreeAlg()
+    alg.s_pub_const = 0
+    acc = DegreeCols()
+    cols = Columns(ctrl=acc, data=acc, accum=acc)
+    cons = air.constraints(alg, cols, cols, [0, 0] * 4, pub)
+    from ..prover.stark import ExtVal, VecVal
+
+    out = []
+    for c in cons:
+        if isinstance(c, (ExtVal, VecVal)):
+            out.append(np.max(np.atleast_1d(c.v)) if isinstance(
+                c, ExtVal) else np.atleast_1d(c.v))
+        else:
+            out.append(int(np.max(c)))
+    return out
 
 
 def _common_shape(items):

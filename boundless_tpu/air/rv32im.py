@@ -32,10 +32,13 @@ ISA coverage (sound): the full RV32IM user subset — LUI, AUIPC, JAL,
 JALR, all branches, all loads/stores (word and sub-word), all ALU
 reg/imm ops incl. shifts, and the full M extension
 (MUL/MULH/MULHSU/MULHU/DIV/DIVU/REM/REMU, incl. the div-by-zero and
--2^31/-1 special cases per the RISC-V spec). Not yet in-circuit:
-cross-segment RAM continuity (post-memory commitment). First access to
-a non-image address must be a write or an image word (uninitialized
-reads are unprovable by construction).
+-2^31/-1 special cases per the RISC-V spec). Cross-segment RAM
+continuity IS in-circuit: touched-page pre/post words are publics bound
+to the sorted RAM log via the init/final LogUp ports (paging-port
+columns below), and the lift program derives post_mem_root from them
+with an in-circuit page-tree walk (`recursion/succinct.py`). First
+access to a non-image address must be a write or an image word
+(uninitialized reads are unprovable by construction).
 """
 
 from __future__ import annotations

@@ -53,20 +53,44 @@ def _stage_twiddles(n: int, forward: bool):
 
 
 def ntt(x, forward: bool = True):
-    """In-order NTT along axis 0. x: uint32 Montgomery, shape (N, ...)."""
+    """In-order NTT along axis 0. x: uint32 Montgomery, shape (N, ...).
+
+    Stockham stages are fused TWO at a time (a radix-4 step composed
+    exactly from the two radix-2 butterflies, so results stay
+    bit-identical): each fused step materializes ONE intermediate
+    instead of two, halving the HBM round-trips of this memory-bound
+    transform (docs/ROOFLINE.md: the NTT stages ran at 10-21% of peak
+    as pure radix-2 passes)."""
     n = x.shape[0]
     logn = n.bit_length() - 1
     assert 1 << logn == n, f"NTT size must be a power of two, got {n}"
     tables = _stage_twiddles(n, forward)
     batch_shape = x.shape[1:]
+    tw = [jnp.asarray(t).reshape((1, -1) + (1,) * len(batch_shape))
+          for t in tables]
     # View as (L, m, batch...): L sub-transforms of length m.
     y = x.reshape((n, 1) + batch_shape)
-    for t in range(logn):
+    t = 0
+    while t + 1 < logn:
+        q = y.shape[0] // 4
+        m = y.shape[1]
+        A, B, C, D = y[:q], y[q : 2 * q], y[2 * q : 3 * q], y[3 * q :]
+        wC = F.mul(C, tw[t])
+        wD = F.mul(D, tw[t])
+        s0 = F.add(A, wC)
+        s1 = F.sub(A, wC)
+        t0 = F.add(B, wD)
+        t1 = F.sub(B, wD)
+        p0 = F.mul(t0, tw[t + 1][:, :m])
+        p1 = F.mul(t1, tw[t + 1][:, m:])
+        y = jnp.concatenate([F.add(s0, p0), F.add(s1, p1),
+                             F.sub(s0, p0), F.sub(s1, p1)], axis=1)
+        t += 2
+    if t < logn:
         half = y.shape[0] // 2
         a = y[:half]
         b = y[half:]
-        tw = jnp.asarray(tables[t]).reshape((1, -1) + (1,) * len(batch_shape))
-        wb = F.mul(b, tw)
+        wb = F.mul(b, tw[t])
         y = jnp.concatenate([F.add(a, wb), F.sub(a, wb)], axis=1)
     return y.reshape((n,) + batch_shape)
 

@@ -149,12 +149,17 @@ class VecVal:
         self.v = v
 
 
-def combine_constraints(cons, alpha, at_deep: bool):
+def combine_constraints(cons, alpha, at_deep: bool, keep=None):
     """Σ_k α^k ⊙ C_k -> (..., 4).
 
     cons items: base array, ExtVal (ext array), or VecVal ((..., G) base
     array consuming G α-powers). At the DEEP point base/VecVal values are
     already ext: base -> (4,), VecVal -> (G, 4).
+
+    `keep` (prover domain-split): optional bool list aligned with cons —
+    only the flagged items enter the sum, but α-power offsets are always
+    assigned over the FULL list, so per-bucket partial sums add up to
+    exactly the single-pass combination (the verifier's α assignment).
 
     Pointwise (prover) evaluation batches every base-field constraint
     column into one (M, K) @ (K, 4) MXU product (`core/bbmm.py`) — the
@@ -172,11 +177,14 @@ def combine_constraints(cons, alpha, at_deep: bool):
     apows = NTT.ext_powers(alpha, total)  # (total, 4)
 
     if not at_deep:
-        return _combine_pointwise(cons, sizes, apows)
+        return _combine_pointwise(cons, sizes, apows, keep)
 
     acc = None
     k = 0
-    for c, g in zip(cons, sizes):
+    for i, (c, g) in enumerate(zip(cons, sizes)):
+        if keep is not None and not keep[i]:
+            k += g
+            continue
         if isinstance(c, VecVal):
             term = F.sum_mod(F.ext_mul(apows[k : k + g], c.v), axis=0)
         else:
@@ -188,7 +196,7 @@ def combine_constraints(cons, alpha, at_deep: bool):
     return acc
 
 
-def _combine_pointwise(cons, sizes, apows):
+def _combine_pointwise(cons, sizes, apows, keep=None):
     """Pointwise α-combine: one MXU weighted sum over all base columns."""
     from ..core import bbmm
 
@@ -196,7 +204,10 @@ def _combine_pointwise(cons, sizes, apows):
     base_weights = []  # matching (G, 4) weight blocks
     acc = None
     k = 0
-    for c, g in zip(cons, sizes):
+    for i, (c, g) in enumerate(zip(cons, sizes)):
+        if keep is not None and not keep[i]:
+            k += g
+            continue
         if isinstance(c, VecVal):
             base_cols.append(c.v)
             base_weights.append(apows[k : k + g])
@@ -217,6 +228,42 @@ def _combine_pointwise(cons, sizes, apows):
     return acc
 
 
+# Domain-split threshold: below this row count a single 4N-grid
+# constraint pass keeps the traced graph small (tests/dryrun compile
+# fast); at or above it, low-degree constraint families are evaluated on
+# the N / 2N subgrids (docs/ROOFLINE.md — constraint eval is the top
+# prover cost and 75% of lanes are degree <= 2).
+SPLIT_MIN_ROWS = 4096
+
+
+def _degree_buckets(air, pub):
+    """[(expand, keep_mask)] partition of the constraint list by degree,
+    largest grid first; None when no split applies (unsupported algebra
+    or everything in one bucket)."""
+    if "_item_degrees" not in air.__dict__:
+        try:
+            from ..air.dsl import constraint_degrees
+
+            air.__dict__["_item_degrees"] = [
+                int(np.max(np.atleast_1d(d)))
+                for d in constraint_degrees(air, pub)]
+        except Exception:  # noqa: BLE001 — algebra unsupported: no split
+            air.__dict__["_item_degrees"] = None
+    degs = air.__dict__["_item_degrees"]
+    if degs is None:
+        return None
+
+    def bucket(d: int) -> int:
+        return 1 if d <= 2 else (2 if d == 3 else 4)
+
+    out = []
+    for e in (4, 2, 1):
+        keep = [bucket(d) == e for d in degs]
+        if any(keep):
+            out.append((e, keep))
+    return out if len(out) > 1 else None
+
+
 @functools.lru_cache(maxsize=None)
 def _commit_xs(n: int, expand: int) -> np.ndarray:
     """Host table of commit-domain points g*H_{expand*N} (Montgomery)."""
@@ -227,19 +274,19 @@ def _commit_xs(n: int, expand: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _domain_tables(n: int):
-    """Host tables for the coset g*H_{4N}: x (Mont), 1/Z(x) (Mont)."""
-    big = INV_RATE * n
+def _domain_tables(n: int, expand: int = INV_RATE):
+    """Host tables for the coset g*H_{expand*N}: x (Mont), 1/Z(x) (Mont)."""
+    big = expand * n
     w = F.ROU_FWD[big.bit_length() - 1]
     xs = _np_powers(w, big) * F.GENERATOR % F.P
-    # Z(x) = x^N - 1 = g^N * w^{iN} - 1; w^N has order 4 -> cyclic pattern.
+    # Z(x) = x^N - 1 = g^N * w^{iN} - 1; w^N has order `expand` -> cycle.
     gn = pow(F.GENERATOR, n, F.P)
     wn = pow(int(w), n, F.P)
     zvals = []
-    for i in range(INV_RATE):
+    for i in range(expand):
         zvals.append((gn * pow(wn, i, F.P) - 1) % F.P)
     zinv = [pow(v, F.P - 2, F.P) for v in zvals]
-    inv_z = np.tile(np.array(zinv, dtype=np.int64), big // INV_RATE)
+    inv_z = np.tile(np.array(zinv, dtype=np.int64), big // expand)
     to_mont = lambda a: (a * (1 << 32) % F.P).astype(np.uint32)
     return to_mont(xs), to_mont(inv_z)
 
@@ -363,32 +410,65 @@ def prove(air: Air, data_trace, pub, po2: int,
 
     from ..air import pallas_eval
 
+    buckets = _degree_buckets(air, pub) if n >= SPLIT_MIN_ROWS else None
     if (pallas_eval.enabled() and getattr(air, "pallas_cons_ok", False)
             and has_ctrl and has_accum):
         # Fused VMEM constraint kernel + MXU α-combine (same field values;
         # docs/ROOFLINE.md for the HBM-materialisation analysis).
         combined = pallas_eval.combined_eval(
             air, ctrl_evals, data_evals, accum_evals, globals_, pub, alpha)
+        _, inv_z = _domain_tables(n)
+        q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
+        q_coeffs = NTT.coset_interpolate(q_evals, expand=1)  # (4N, 4)
     else:
-        now = Columns(
-            ctrl=_ColAccessor(ctrl_evals if has_ctrl else None),
-            data=_ColAccessor(data_evals),
-            accum=_ColAccessor(accum_evals if has_accum else None),
-        )
-        nxt = Columns(
-            ctrl=_ColAccessor(col_view(ctrl_evals if has_ctrl else None,
-                                       INV_RATE)),
-            data=_ColAccessor(col_view(data_evals, INV_RATE)),
-            accum=_ColAccessor(col_view(accum_evals if has_accum else None,
-                                        INV_RATE)),
-        )
-        cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
-        combined = combine_constraints(cons, alpha, at_deep=False)  # (4N, 4)
-    _, inv_z = _domain_tables(n)
-    q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
 
-    # Interpolate Q on the coset (degree <= 4N-5, exact).
-    q_coeffs = NTT.coset_interpolate(q_evals, expand=1)  # (4N, 4)
+        def eval_bucket(expand: int, keep):
+            """Q-bucket coefficients from the g*H_{expand*N} subgrid.
+
+            A degree-d constraint family's composition term C/Z has
+            degree d(N-1) - N < expand*N for d <= expand + 1, so the
+            stride-(4/expand) subgrid of the 4N evaluations determines
+            it exactly — 75% of the rv32im lanes are degree <= 2 and
+            cost a quarter of the full-grid evaluation (air/dsl.py
+            DegreeAlg; the summed bucket coefficients are bit-identical
+            to the single-pass 4N evaluation).
+            """
+            step = INV_RATE // expand
+            sub = lambda ev: ev if (ev is None or step == 1) else ev[::step]
+            now = Columns(
+                ctrl=_ColAccessor(sub(ctrl_evals) if has_ctrl else None),
+                data=_ColAccessor(sub(data_evals)),
+                accum=_ColAccessor(sub(accum_evals) if has_accum else None),
+            )
+            nxt = Columns(
+                ctrl=_ColAccessor(col_view(
+                    sub(ctrl_evals) if has_ctrl else None, expand)),
+                data=_ColAccessor(col_view(sub(data_evals), expand)),
+                accum=_ColAccessor(col_view(
+                    sub(accum_evals) if has_accum else None, expand)),
+            )
+            cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
+            combined = combine_constraints(cons, alpha, at_deep=False,
+                                           keep=keep)
+            _, inv_z = _domain_tables(n, expand)
+            q_ev = F.mul(combined, jnp.asarray(inv_z)[:, None])
+            return NTT.coset_interpolate(q_ev, expand=1)  # (expand*N, 4)
+
+        if buckets is None:
+            q_coeffs = eval_bucket(INV_RATE, None)
+        else:
+            q_coeffs = None
+            for expand, keep in buckets:
+                c_e = eval_bucket(expand, keep)
+                if q_coeffs is None and expand == INV_RATE:
+                    q_coeffs = c_e
+                elif q_coeffs is None:
+                    pad = jnp.zeros((INV_RATE * n - c_e.shape[0], EXT),
+                                    dtype=jnp.uint32)
+                    q_coeffs = jnp.concatenate([c_e, pad], axis=0)
+                else:
+                    q_coeffs = q_coeffs.at[: c_e.shape[0]].set(
+                        F.add(q_coeffs[: c_e.shape[0]], c_e))
     # Split Q(x) = Σ_i x^i Q_i(x^4); commit the 16 base component columns.
     check_coeffs = jnp.concatenate(
         [q_coeffs[i::CHECK_SPLIT] for i in range(CHECK_SPLIT)], axis=1

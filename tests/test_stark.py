@@ -143,3 +143,40 @@ def test_prod_air_with_accum_and_globals():
     bad = proof._replace(accum_root=proof.data_root)
     ok2 = verifier(bad, pub, ctrl_root)
     assert not bool(ok2)
+
+
+@pytest.mark.slow
+def test_degree_split_bit_identical():
+    """The N/2N/4N constraint domain split (SPLIT_MIN_ROWS) must produce
+    the exact proof of the single-grid path (same Q polynomial, exact
+    field arithmetic — see stark.prove eval_bucket)."""
+    from boundless_tpu.zkvm import prove, guests, witness
+    from boundless_tpu.zkvm.executor import Executor
+
+    po2 = 12
+    ps = stark.ProofSystem(queries=4, fri_min_degree=16)
+    image = guests.echo()
+    ex = Executor(image, guests.words([2, 7, 9]), segment_po2=po2)
+    seg = ex.run().segments[0]
+    w = witness.trace_segment(image, seg, po2)
+    variant = prove.air_variant_of(image)
+    air = prove._AIRS[variant]
+    data = F.fp(witness.data_for_variant(w.data, variant))
+    ctrl, _ = prove._image_ctrl(image, po2)
+    pub = witness.to_public_values(w.pub)
+
+    assert stark.SPLIT_MIN_ROWS <= (1 << po2)
+    p_split = jax.jit(
+        lambda d, p, c: stark.prove(air, d, p, po2, ps, c))(data, pub, ctrl)
+    old = stark.SPLIT_MIN_ROWS
+    try:
+        stark.SPLIT_MIN_ROWS = 1 << 30
+        p_ref = jax.jit(
+            lambda d, p, c: stark.prove(air, d, p, po2, ps, c))(
+                data, pub, ctrl)
+    finally:
+        stark.SPLIT_MIN_ROWS = old
+    a = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, p_split))
+    b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, p_ref))
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
