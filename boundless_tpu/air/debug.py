@@ -42,16 +42,25 @@ def check_constraints(air, ctrl, data, pub, globals_seed: int = 7):
 
         from ..prover.stark import _ColAccessor as acc_of
 
+        n = data.shape[0]
+        po2 = int(n).bit_length() - 1
+        zk = air.zk_rows(po2) if hasattr(air, "zk_rows") else 0
         now = dsl.Columns(acc_of(ctrl), acc_of(data), acc_of(accum))
         nxt = dsl.Columns(acc_of(jnp.roll(ctrl, -1, axis=0)),
                           acc_of(jnp.roll(data, -1, axis=0)),
                           acc_of(jnp.roll(accum, -1, axis=0)))
         cons = air.constraints(dsl.BaseAlg(), now, nxt, globals_, pub)
+        zclass = getattr(air, "_zclass", None) if zk else None
         out = []
-        for c in cons:
+        for i, c in enumerate(cons):
             if isinstance(c, (ExtVal, VecVal)):
                 c = c.v
-            out.append(jnp.count_nonzero(F.from_mont(c)))
+            vals = F.from_mont(c)
+            if zclass is not None and not zclass[i]:
+                # point-class family: binds REAL rows only (the blinded
+                # zk tail is free — prover/stark._cons_plan)
+                vals = vals[: n - zk]
+            out.append(jnp.count_nonzero(vals))
         return out
 
     _EVAL_CACHE[key] = _eval

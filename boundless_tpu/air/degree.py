@@ -172,7 +172,19 @@ def assert_degrees(air: Air, pub, po2: int = 5, expand: int = 16,
     n = 1 << po2
     declared = air.max_degree * (n - 1)
     hard = degree_budget(po2)
-    bad = [d for d in degs if d.degree > declared or d.degree > hard]
+    # Blinded AIRs (zk tail rows): point-class composition terms gain
+    # deg Z from the P_Z factor (prover/stark._cons_plan), so their
+    # measured deg C must satisfy deg C - N + Z <= hard - N, i.e. the
+    # point-class budget is `hard - zk`. Class list aligns with the
+    # audit's constraint indices (air._zclass from the audit's own
+    # constraints() run).
+    zk = air.zk_rows(po2) if hasattr(air, "zk_rows") else 0
+    zclass = getattr(air, "_zclass", None) if zk else None
+    def _hard(d):
+        if zclass is not None and not zclass[d.index]:
+            return hard - zk
+        return hard
+    bad = [d for d in degs if d.degree > declared or d.degree > _hard(d)]
     if bad:
         lines = [
             f"constraint[{d.index}] lane {d.lane} ({d.kind}): deg {d.degree}"

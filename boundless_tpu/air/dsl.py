@@ -467,6 +467,13 @@ class Air:
     globals_count = 0
     max_degree = 2
 
+    def zk_rows(self, po2: int) -> int:
+        """Blinded (free random) tail rows per trace; 0 = no blinding.
+
+        Blinded AIRs must also classify constraints (trans vs point —
+        see prover/stark._cons_plan) via `_zclass`."""
+        return 0
+
     def ctrl_trace(self, n: int):
         """(n, ctrl_cols) Montgomery uint32; deterministic per circuit."""
         return jnp.zeros((n, self.ctrl_cols), dtype=jnp.uint32)

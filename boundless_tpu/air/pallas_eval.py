@@ -404,10 +404,14 @@ def _lanes(x_t, sb: int):
 
 
 def combined_eval(air, ctrl_evals, data_evals, accum_evals, globals_, pub,
-                  alpha, interpret=None):
+                  alpha, interpret=None, class_masks=None):
     """Σ_k α^k C_k over the whole grid -> (M, 4); exact field values.
 
     Inputs are the (M, C) coset-grid evaluations from `stark.prove`.
+    `class_masks`: optional list of per-constraint-item keep masks (ZK
+    divisor classes) — the kernel runs once; each mask yields its own
+    α-combine (non-kept items get zero weights, an exact no-op), and a
+    LIST of (M, 4) arrays is returned.
     """
     from ..core import bbmm
     from ..prover.stark import INV_RATE
@@ -470,4 +474,19 @@ def combined_eval(air, ctrl_evals, data_evals, accum_evals, globals_, pub,
 
     out_t = out.transpose(1, 0, 2, 3).reshape(k_rows, m)  # (K, M)
     weights = _alpha_weight_rows(kinds, alpha)  # (K, 4)
-    return bbmm.bb_weighted_sum_t(out_t, weights)
+    if class_masks is None:
+        return bbmm.bb_weighted_sum_t(out_t, weights)
+    # Expand item-level masks to kernel-row level; zero weights for
+    # non-kept items (exact: zero-weight terms contribute 0 mod P).
+    results = []
+    for mask in class_masks:
+        if mask is None:
+            results.append(bbmm.bb_weighted_sum_t(out_t, weights))
+            continue
+        lane_keep = []
+        for (kind, g), keep in zip(kinds, mask):
+            rows = g if kind == "vec" else (4 if kind == "ext" else 1)
+            lane_keep.extend([keep] * rows)
+        sel = jnp.asarray(np.asarray(lane_keep, dtype=np.uint32))[:, None]
+        results.append(bbmm.bb_weighted_sum_t(out_t, weights * sel))
+    return results

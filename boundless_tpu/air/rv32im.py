@@ -73,8 +73,8 @@ class DataCols:
     """Data-group column layout.
 
     Two variants share one allocation order: the RV32I layout
-    (with_m=False, 384 columns) is a strict PREFIX of the RV32IM layout
-    (576 columns) — witness generation always fills the full layout and
+    (with_m=False, 392 columns) is a strict PREFIX of the RV32IM layout
+    (584 columns) — witness generation always fills the full layout and
     truncates for RV32I programs (zkvm/prove.py picks the variant from
     the image's decoded instructions; proving a non-M program commits
     192 fewer columns, the dominant prover cost driver).
@@ -139,8 +139,18 @@ class DataCols:
         self.s_last = a.get()
         # SB stores witness the high byte of rs2's low limb here
         self.q8 = a.get(8)
+        # --- committed degree helpers (ZK blinding degree budget) ---
+        # With blinded zk tail rows, point-class constraint families must
+        # stay at degree <= 4 (their composition term divides by
+        # Z_H / P_Z, gaining deg Z — prover/stark.py). These committed
+        # columns shave one degree off the former deg-5 families; each
+        # has a point-class definition constraint of degree <= 4.
+        self.sx = a.get()  # a31 XOR b31 (signed-compare helper)
+        self.is_addm = a.get()  # shared-adder "add mode" selector
+        self.is_subm = a.get()  # shared-adder "sub mode" selector
+        self.sh_sra = a.get()  # is_shift * f3_5 * alt (sra direction)
         if not with_m:
-            self.pad = a.get(384 - a.n)
+            self.pad = a.get(392 - a.n)
             self.total = a.n
             return
         # --- M extension ---
@@ -162,7 +172,7 @@ class DataCols:
         self.m_g = a.get()  # committed gate selS * (1 - o)
         self.m_g2 = a.get()  # committed gate selS * (1 - bzero)
         # pad for tp-sharding divisibility (unconstrained zero cols)
-        self.pad = a.get(576 - a.n)
+        self.pad = a.get(584 - a.n)
         self.total = a.n
 
 
@@ -170,7 +180,12 @@ class CtrlCols:
     def __init__(self):
         a = _Alloc()
         self.is_first = a.get()
+        # trans gate: 1 on rows 0..N-Z-2 (transitions between REAL rows
+        # only; Z = zk_rows(po2) blinded tail rows are fully free).
         self.not_last = a.get()
+        # 1 exactly at row N-Z-1 (the last real row): all boundary
+        # claims (post pc/regs/seqs, LogUp S_pub) bind there.
+        self.is_last = a.get()
         self.clk = a.get()
         # decoded image table (static per program; ctrl root == image_id)
         self.t_active = a.get()
@@ -213,6 +228,17 @@ DC = DataCols()
 DC_I = DataCols(with_m=False)
 CC = CtrlCols()
 AC = AccumCols()
+
+
+def zk_rows(po2: int) -> int:
+    """Blinded tail rows per segment (ZK region; docs/ZK_BLINDING_DESIGN).
+
+    Every committed column polynomial reveals <= queries + 2 evaluations
+    (query openings + DEEP taps); Z free random rows per column make the
+    revealed tuple simulatable. 128 covers the production proof system
+    (100 queries); small test traces scale down (N/4 >= queries + 2 for
+    every ProofSystem used in CI)."""
+    return min(128, (1 << po2) // 4)
 
 TAG = {"fetch": 1, "mem": 2, "init": 3, "commit": 4, "read": 5, "verify": 6,
        "final": 7}
@@ -537,6 +563,10 @@ class Rv32imAir(dsl.Air):
         self.name = "rv32im" if with_m else "rv32i"
         self.data_cols = self.dc.total
 
+    def zk_rows(self, po2: int) -> int:
+        """Blinded tail rows (module-level zk_rows; ZK on by default)."""
+        return zk_rows(po2)
+
     # --- fused constraint-kernel hooks (air/pallas_eval.py) ---
     # The kernel evaluates `constraints` under a transposed in-VMEM
     # algebra; row-independent public inputs travel as one small vector.
@@ -594,7 +624,25 @@ class Rv32imAir(dsl.Air):
         dpows = alg.ext_powers(delta, NUM_DPOWS)
         d = _Rows(now)
         nx = _Rows(nxt)
-        c = []
+        # Constraint classes for the blinded zk tail (prover/stark.py):
+        # trans-class families carry an is_first/is_last/not_last ctrl
+        # gate (0 on zk rows), so they vanish there and divide by the
+        # full Z_H; point-class families hold on REAL rows only and
+        # divide by Z_H / P_Z. `c.append` = point (default),
+        # `c.append_t` = trans. The class list is exposed as
+        # `air._zclass` after each constraints() call (same order).
+
+        class _ConsList(list):
+            def append(self, v):
+                self.zclass.append(False)
+                super(_ConsList, self).append(v)
+
+            def append_t(self, v):
+                self.zclass.append(True)
+                super(_ConsList, self).append(v)
+
+        c = _ConsList()
+        c.zclass = []
         m, add, sub = alg.mul, alg.add, alg.sub
         gm, ga, gs = alg.gmul, alg.gadd, alg.gsub
         B = alg.B
@@ -618,7 +666,7 @@ class Rv32imAir(dsl.Air):
         pc = d.data(DC.pc)
         is_first = d.ctrl(CC.is_first)
         not_last = d.ctrl(CC.not_last)
-        is_last = sub(one, not_last)
+        is_last = d.ctrl(CC.is_last)
 
         a_blk = d.datab(DC.a_bits)
         b_blk = d.datab(DC.b_bits)
@@ -728,11 +776,19 @@ class Rv32imAir(dsl.Air):
         RH = alg.gweighted(r_blk, W_HI)
 
         # ---- shared adder ----
+        # is_addm / is_subm are COMMITTED columns (DC.is_addm/is_subm)
+        # with point-class degree-4 definitions: with blinded zk rows the
+        # adder identities below must stay point-class degree <= 4
+        # (docs/ZK_BLINDING_DESIGN.md), and the inline selector
+        # expressions are themselves degree 4.
         c0b, c1b = d.data(DC.c0), d.data(DC.c1)
-        is_addm = add(m(alu_nm, m(f3[0], sub(one, alt))),
-                      dsum([is_load, is_store, is_jalr]))
-        is_subm = add(m(alu_nm, add(m(f3[0], alt), add(f3[2], f3[3]))),
-                      is_br)
+        is_addm = d.data(DC.is_addm)
+        is_subm = d.data(DC.is_subm)
+        c.append(sub(is_addm, add(m(alu_nm, m(f3[0], sub(one, alt))),
+                                  dsum([is_load, is_store, is_jalr]))))
+        c.append(sub(is_subm, add(m(alu_nm, add(m(f3[0], alt),
+                                                add(f3[2], f3[3]))),
+                                  is_br)))
         c16 = alg.const(1 << 16)
         cFFFF = alg.const(0xFFFF)
         c.append(m(is_addm, sub(add(rs1v[0], op2[0]), add(RL, m(c0b, c16)))))
@@ -759,9 +815,13 @@ class Rv32imAir(dsl.Air):
         # per-bit shift constraints stay within the degree-5 budget.
         is_shift = d.data(DC.is_shift_col)
         c.append(sub(is_shift, m(alu_nm, add(f3[1], f3[5]))))
+        # sh_sra is a COMMITTED column (= is_shift * f3_5 * alt, the only
+        # degree-3 direction selector): srl = is_shift*f3_5 - sh_sra stays
+        # degree 2, keeping the barrel family point-class degree <= 4.
+        is_sra = d.data(DC.sh_sra)
+        c.append(sub(is_sra, m(is_shift, m(f3[5], alt))))
         is_sll = m(is_shift, f3[1])
-        is_srl = m(is_shift, m(f3[5], sub(one, alt)))
-        is_sra = m(is_shift, m(f3[5], alt))
+        is_srl = sub(m(is_shift, f3[5]), is_sra)
         shamt = alg.gweighted(b_blk, np.array(
             [1 << i if i < 5 else 0 for i in range(32)], dtype=np.int64))
         sh_idx = alg.gweighted(sh_blk, np.arange(32))
@@ -786,7 +846,11 @@ class Rv32imAir(dsl.Air):
         a31 = d.data(DC.a_bits.start + 31)
         b31 = d.data(DC.b_bits.start + 31)
         two = alg.const(2)
-        sx = sub(add(a31, b31), m(two, m(a31, b31)))
+        # sx = a31 XOR b31 is COMMITTED (DC.sx, degree-2 definition) so
+        # lt_s stays degree 2 and the branch/slt families point-class
+        # degree <= 4 under blinding.
+        sx = d.data(DC.sx)
+        c.append(sub(sx, sub(add(a31, b31), m(two, m(a31, b31)))))
         lt_s = sub(add(lt_u, sx), m(two, m(lt_u, sx)))
         eq = d.data(DC.eq)
         z_inv = d.data(DC.z_inv)
@@ -1144,8 +1208,8 @@ class Rv32imAir(dsl.Air):
               pc4),
         ])
         pc_n = nx.data(DC.pc)
-        c.append(m(not_last, sub(pc_n, add(m(active, pc_next),
-                                           m(sub(one, active), pc)))))
+        c.append_t(m(not_last, sub(pc_n, add(m(active, pc_next),
+                                             m(sub(one, active), pc)))))
 
         # ---- register transitions (grouped per limb over 32 regs) ----
         wen = dsum([is_lui, is_auipc, is_jal, is_jalr, is_load, is_alui,
@@ -1161,8 +1225,9 @@ class Rv32imAir(dsl.Air):
         for limb, (now_l, nxt_l) in ((0, (regs_lo, nxt_lo)),
                                      (1, (regs_hi, nxt_hi))):
             delta_w = gm(w_oh, gs(B(rdv[limb]), now_l))
-            c.append(VecVal(gm(B(not_last),
-                               gs(nxt_l, ga(now_l, gm(B(active), delta_w))))))
+            c.append_t(VecVal(gm(B(not_last),
+                                 gs(nxt_l, ga(now_l,
+                                              gm(B(active), delta_w))))))
 
         # ---- ecall kind binding (t0 = reg 5) ----
         kind_val = alg.gweighted(d.datab(DC.k), np.arange(5))
@@ -1172,13 +1237,14 @@ class Rv32imAir(dsl.Air):
         # ---- seq counters / halt / active ----
         for seq_col, kk in ((DC.commit_seq, k_commit), (DC.read_seq, k_read),
                             (DC.verify_seq, k_verify)):
-            c.append(m(not_last, sub(nx.data(seq_col),
-                                     add(d.data(seq_col), m(active, kk)))))
-        c.append(m(not_last, sub(nx.data(DC.halted),
-                                 add(halted, m(active, k_halt)))))
+            c.append_t(m(not_last, sub(nx.data(seq_col),
+                                       add(d.data(seq_col),
+                                           m(active, kk)))))
+        c.append_t(m(not_last, sub(nx.data(DC.halted),
+                                   add(halted, m(active, k_halt)))))
         c.append(m(halted, active))
-        c.append(m(not_last, m(nx.data(DC.active), sub(one, active))))
-        c.append(m(is_first, halted))
+        c.append_t(m(not_last, m(nx.data(DC.active), sub(one, active))))
+        c.append_t(m(is_first, halted))
 
         # ---- sorted memory log ----
         s_active = d.data(DC.s_active)
@@ -1202,14 +1268,14 @@ class Rv32imAir(dsl.Air):
         # aliasing on the rate-1/4 LDE (caught by air/degree.py; any
         # guest with a non-empty, non-full memory log failed to verify).
         gate = m(not_last, s_active_n)
-        c.append(m(gate, sub(sub(dd, one), dsum_bits)))
-        c.append(m(gate, m(sub(one, s_new_n), sub(s_addr_n, s_addr))))
+        c.append_t(m(gate, sub(sub(dd, one), dsum_bits)))
+        c.append_t(m(gate, m(sub(one, s_new_n), sub(s_addr_n, s_addr))))
         for limb in range(2):
-            c.append(m(gate, m(sub(one, s_w_n),
-                               m(sub(one, s_new_n),
-                                 sub(s_val_n[limb], s_val[limb])))))
-        c.append(m(not_last, m(s_active_n, sub(one, s_active))))
-        c.append(m(is_first, m(s_active, sub(s_new, one))))
+            c.append_t(m(gate, m(sub(one, s_w_n),
+                                 m(sub(one, s_new_n),
+                                   sub(s_val_n[limb], s_val[limb])))))
+        c.append_t(m(not_last, m(s_active_n, sub(one, s_active))))
+        c.append_t(m(is_first, m(s_active, sub(s_new, one))))
 
         # ---- paging port bindings ----
         # first READ of an address must see its segment-entry value
@@ -1224,10 +1290,10 @@ class Rv32imAir(dsl.Air):
         # keeps the value boolean even if a prover sets s_new on inactive
         # rows (s_new is unconstrained there)
         s_last_c = d.data(DC.s_last)
-        c.append(m(not_last, sub(s_last_c,
-                                 m(s_active, add(m(s_active_n, s_new_n),
-                                                 sub(one, s_active_n))))))
-        c.append(m(is_last, sub(s_last_c, s_active)))
+        c.append_t(m(not_last, sub(s_last_c,
+                                   m(s_active, add(m(s_active_n, s_new_n),
+                                                   sub(one, s_active_n))))))
+        c.append_t(m(is_last, sub(s_last_c, s_active)))
 
         # ---- LogUp ports: inv * pack == sel ----
         packs, sels = _ports(alg, d, gamma, dpows)
@@ -1250,9 +1316,9 @@ class Rv32imAir(dsl.Air):
         R_nxt = alg.read_ext(nxt.accum, AC.running)
         t_now = signed_total(now.accum)
         t_next = signed_total(nxt.accum)
-        c.append(ExtVal(alg.escale(alg.esub(alg.esub(R_nxt, R_now), t_next),
-                                   not_last)))
-        c.append(ExtVal(alg.escale(alg.esub(R_now, t_now), is_first)))
+        c.append_t(ExtVal(alg.escale(
+            alg.esub(alg.esub(R_nxt, R_now), t_next), not_last)))
+        c.append_t(ExtVal(alg.escale(alg.esub(R_now, t_now), is_first)))
         if getattr(alg, "is_prog", False):
             s_pub = _public_logup_sum_prog(alg, pub, gamma, delta)
         elif getattr(alg, "s_pub_const", None) is not None:
@@ -1261,7 +1327,7 @@ class Rv32imAir(dsl.Air):
             s_pub = alg.s_pub_const
         else:
             s_pub = public_logup_sum(pub, gamma, delta)
-        c.append(ExtVal(alg.escale(
+        c.append_t(ExtVal(alg.escale(
             alg.esub(R_now, alg.bc(s_pub, R_now)), is_last)))
 
         # ---- multiplicities only on active table rows ----
@@ -1270,18 +1336,19 @@ class Rv32imAir(dsl.Air):
 
         # ---- claim boundaries (grouped over all 64 reg limbs) ----
         regs_full = d.datab(slice(DC.regs.start, DC.regs.stop))
-        c.append(VecVal(gm(B(is_first),
-                           gs(regs_full, alg.gpub(pub.pre_regs)))))
-        c.append(VecVal(gm(B(is_last),
-                           gs(regs_full, alg.gpub(pub.post_regs)))))
-        c.append(m(is_first, sub(pc, alg.pubval(pub.pre_pc))))
-        c.append(m(is_last, sub(pc, alg.pubval(pub.post_pc))))
-        c.append(m(is_last, sub(halted, alg.pubval(pub.halted))))
+        c.append_t(VecVal(gm(B(is_first),
+                             gs(regs_full, alg.gpub(pub.pre_regs)))))
+        c.append_t(VecVal(gm(B(is_last),
+                             gs(regs_full, alg.gpub(pub.post_regs)))))
+        c.append_t(m(is_first, sub(pc, alg.pubval(pub.pre_pc))))
+        c.append_t(m(is_last, sub(pc, alg.pubval(pub.post_pc))))
+        c.append_t(m(is_last, sub(halted, alg.pubval(pub.halted))))
         for i, (seq_col, kk) in enumerate(((DC.commit_seq, k_commit),
                                            (DC.read_seq, k_read),
                                            (DC.verify_seq, k_verify))):
             s_now = d.data(seq_col)
-            c.append(m(is_first, sub(s_now, alg.pubval(pub.pre_seqs[i]))))
-            c.append(m(is_last, sub(add(s_now, m(active, kk)),
-                                    alg.pubval(pub.post_seqs[i]))))
+            c.append_t(m(is_first, sub(s_now, alg.pubval(pub.pre_seqs[i]))))
+            c.append_t(m(is_last, sub(add(s_now, m(active, kk)),
+                                      alg.pubval(pub.post_seqs[i]))))
+        self._zclass = list(c.zclass)
         return c

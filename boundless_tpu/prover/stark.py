@@ -236,10 +236,10 @@ def _combine_pointwise(cons, sizes, apows, keep=None):
 SPLIT_MIN_ROWS = 4096
 
 
-def _degree_buckets(air, pub):
-    """[(expand, keep_mask)] partition of the constraint list by degree,
-    largest grid first; None when no split applies (unsupported algebra
-    or everything in one bucket)."""
+def _item_degrees(air, pub):
+    """Per-constraint-item max degree bounds (cached; None if the AIR
+    doesn't support the symbolic degree algebra). Also caches the
+    item class list air._zclass (trans vs point; see Air.constraints)."""
     if "_item_degrees" not in air.__dict__:
         try:
             from ..air.dsl import constraint_degrees
@@ -247,21 +247,58 @@ def _degree_buckets(air, pub):
             air.__dict__["_item_degrees"] = [
                 int(np.max(np.atleast_1d(d)))
                 for d in constraint_degrees(air, pub)]
+            air.__dict__["_zclass_cache"] = list(
+                getattr(air, "_zclass", [])) or None
         except Exception:  # noqa: BLE001 — algebra unsupported: no split
             air.__dict__["_item_degrees"] = None
-    degs = air.__dict__["_item_degrees"]
+            air.__dict__["_zclass_cache"] = None
+    return air.__dict__["_item_degrees"], air.__dict__["_zclass_cache"]
+
+
+def _cons_plan(air, pub, po2: int):
+    """Evaluation plan for the composition polynomial.
+
+    Returns (zk, [(expand, [(keep_mask, is_point), ...]), ...]): each
+    grid evaluates the constraint list once; each (keep, is_point) job
+    combines a subset and divides by Z_H (trans class: ctrl-gated
+    families that vanish on the blinded zk tail) or Z_H / P_Z (point
+    class: families that hold on REAL rows only). Grid choice per item:
+    the composition term's degree d(N-1) - N (+ Z for point class) must
+    fit below expand*N. Below SPLIT_MIN_ROWS everything runs on the 4N
+    grid (small traced graphs for CI-size proofs)."""
+    n = 1 << po2
+    zk = air.zk_rows(po2) if hasattr(air, "zk_rows") else 0
+    degs, zclass = _item_degrees(air, pub)
     if degs is None:
-        return None
+        if zk:
+            raise ValueError(
+                "blinded AIR requires DegreeAlg/zclass support")
+        return 0, [(INV_RATE, [(None, False)])]
+    if zk and zclass is None:
+        raise ValueError("blinded AIR did not report constraint classes")
+    if not zk:
+        zclass = [True] * len(degs)  # all trans-class (divide by Z_H)
 
-    def bucket(d: int) -> int:
-        return 1 if d <= 2 else (2 if d == 3 else 4)
+    split = n >= SPLIT_MIN_ROWS
 
-    out = []
-    for e in (4, 2, 1):
-        keep = [bucket(d) == e for d in degs]
-        if any(keep):
-            out.append((e, keep))
-    return out if len(out) > 1 else None
+    def expand_of(d: int, is_point: bool) -> int:
+        if not split:
+            return INV_RATE
+        qdeg = d * (n - 1) - n + (zk if is_point else 0)
+        for e in (1, 2):
+            if qdeg < e * n:
+                return e
+        return INV_RATE
+
+    groups = {}
+    for i, (d, trans) in enumerate(zip(degs, zclass)):
+        key = (expand_of(d, not trans), not trans)
+        groups.setdefault(key, [False] * len(degs))[i] = True
+    plan = {}
+    for (e, is_point), mask in sorted(groups.items(), reverse=True):
+        plan.setdefault(e, []).append(
+            (None if len(groups) == 1 else mask, is_point))
+    return zk, sorted(plan.items(), reverse=True)
 
 
 @functools.lru_cache(maxsize=None)
@@ -289,6 +326,29 @@ def _domain_tables(n: int, expand: int = INV_RATE):
     inv_z = np.tile(np.array(zinv, dtype=np.int64), big // expand)
     to_mont = lambda a: (a * (1 << 32) % F.P).astype(np.uint32)
     return to_mont(xs), to_mont(inv_z)
+
+
+def _zk_root_ints(n: int, zk: int) -> list:
+    """The zk-region trace-domain points w_N^j, j = n-zk..n-1 (canonical
+    ints). P_Z(x) = prod (x - w^j) is the vanishing poly of the blinded
+    tail rows; point-class constraints divide by Z_H / P_Z."""
+    wn = F.ROU_FWD[n.bit_length() - 1]
+    return [pow(wn, j, F.P) for j in range(n - zk, n)]
+
+
+@functools.lru_cache(maxsize=None)
+def _point_tables(n: int, expand: int, zk: int) -> np.ndarray:
+    """P_Z(x) / Z_H(x) on g*H_{expand*N} (Montgomery uint32)."""
+    big = expand * n
+    w = F.ROU_FWD[big.bit_length() - 1]
+    xs = _np_powers(w, big) * F.GENERATOR % F.P  # canonical int64
+    _, inv_z = _domain_tables(n, expand)
+    pz = np.ones(big, dtype=np.int64)
+    for r in _zk_root_ints(n, zk):
+        pz = pz * ((xs - r) % F.P) % F.P
+    inv_z_can = (inv_z.astype(np.int64) * pow(1 << 32, F.P - 2, F.P)) % F.P
+    vals = pz * inv_z_can % F.P
+    return (vals * (1 << 32) % F.P).astype(np.uint32)
 
 
 def _ext_basis(c: int):
@@ -410,28 +470,40 @@ def prove(air: Air, data_trace, pub, po2: int,
 
     from ..air import pallas_eval
 
-    buckets = _degree_buckets(air, pub) if n >= SPLIT_MIN_ROWS else None
+    zk, plan = _cons_plan(air, pub, po2)
+
+    def _job_table(expand: int, is_point: bool):
+        if is_point:
+            return jnp.asarray(_point_tables(n, expand, zk))
+        return jnp.asarray(_domain_tables(n, expand)[1])
+
     if (pallas_eval.enabled() and getattr(air, "pallas_cons_ok", False)
             and has_ctrl and has_accum):
         # Fused VMEM constraint kernel + MXU α-combine (same field values;
-        # docs/ROOFLINE.md for the HBM-materialisation analysis).
-        combined = pallas_eval.combined_eval(
-            air, ctrl_evals, data_evals, accum_evals, globals_, pub, alpha)
-        _, inv_z = _domain_tables(n)
-        q_evals = F.mul(combined, jnp.asarray(inv_z)[:, None])  # (4N, 4)
+        # docs/ROOFLINE.md for the HBM-materialisation analysis). The
+        # kernel always evaluates on the 4N grid; blinding classes are
+        # two masked α-combines over the same kernel output.
+        jobs = [(keep, is_point) for e, js in plan for keep, is_point in js]
+        combs = pallas_eval.combined_eval(
+            air, ctrl_evals, data_evals, accum_evals, globals_, pub, alpha,
+            class_masks=[k for k, _ in jobs])
+        q_evals = None
+        for comb, (_, is_point) in zip(combs, jobs):
+            term = F.mul(comb, _job_table(INV_RATE, is_point)[:, None])
+            q_evals = term if q_evals is None else F.ext_add(q_evals, term)
         q_coeffs = NTT.coset_interpolate(q_evals, expand=1)  # (4N, 4)
     else:
 
-        def eval_bucket(expand: int, keep):
-            """Q-bucket coefficients from the g*H_{expand*N} subgrid.
+        def eval_grid(expand: int, jobs):
+            """Q-part coefficients from the g*H_{expand*N} subgrid.
 
-            A degree-d constraint family's composition term C/Z has
-            degree d(N-1) - N < expand*N for d <= expand + 1, so the
-            stride-(4/expand) subgrid of the 4N evaluations determines
-            it exactly — 75% of the rv32im lanes are degree <= 2 and
-            cost a quarter of the full-grid evaluation (air/dsl.py
-            DegreeAlg; the summed bucket coefficients are bit-identical
-            to the single-pass 4N evaluation).
+            One constraints() trace per grid; each job α-combines its
+            item subset and divides by its class divisor. Composition
+            terms of degree < expand*N are determined exactly by the
+            stride-(4/expand) subgrid of the 4N evaluations — 75% of
+            the rv32im lanes are degree <= 2 (air/dsl.py DegreeAlg);
+            the summed part coefficients are bit-identical to a
+            single-pass 4N evaluation.
             """
             step = INV_RATE // expand
             sub = lambda ev: ev if (ev is None or step == 1) else ev[::step]
@@ -448,27 +520,26 @@ def prove(air: Air, data_trace, pub, po2: int,
                     sub(accum_evals) if has_accum else None, expand)),
             )
             cons = air.constraints(BaseAlg(), now, nxt, globals_, pub)
-            combined = combine_constraints(cons, alpha, at_deep=False,
+            q_ev = None
+            for keep, is_point in jobs:
+                comb = combine_constraints(cons, alpha, at_deep=False,
                                            keep=keep)
-            _, inv_z = _domain_tables(n, expand)
-            q_ev = F.mul(combined, jnp.asarray(inv_z)[:, None])
+                term = F.mul(comb, _job_table(expand, is_point)[:, None])
+                q_ev = term if q_ev is None else F.ext_add(q_ev, term)
             return NTT.coset_interpolate(q_ev, expand=1)  # (expand*N, 4)
 
-        if buckets is None:
-            q_coeffs = eval_bucket(INV_RATE, None)
-        else:
-            q_coeffs = None
-            for expand, keep in buckets:
-                c_e = eval_bucket(expand, keep)
-                if q_coeffs is None and expand == INV_RATE:
-                    q_coeffs = c_e
-                elif q_coeffs is None:
-                    pad = jnp.zeros((INV_RATE * n - c_e.shape[0], EXT),
-                                    dtype=jnp.uint32)
-                    q_coeffs = jnp.concatenate([c_e, pad], axis=0)
-                else:
-                    q_coeffs = q_coeffs.at[: c_e.shape[0]].set(
-                        F.add(q_coeffs[: c_e.shape[0]], c_e))
+        q_coeffs = None
+        for expand, jobs in plan:
+            c_e = eval_grid(expand, jobs)
+            if q_coeffs is None and expand == INV_RATE:
+                q_coeffs = c_e
+            elif q_coeffs is None:
+                pad = jnp.zeros((INV_RATE * n - c_e.shape[0], EXT),
+                                dtype=jnp.uint32)
+                q_coeffs = jnp.concatenate([c_e, pad], axis=0)
+            else:
+                q_coeffs = q_coeffs.at[: c_e.shape[0]].set(
+                    F.add(q_coeffs[: c_e.shape[0]], c_e))
     # Split Q(x) = Σ_i x^i Q_i(x^4); commit the 16 base component columns.
     check_coeffs = jnp.concatenate(
         [q_coeffs[i::CHECK_SPLIT] for i in range(CHECK_SPLIT)], axis=1
@@ -662,7 +733,22 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
         accum=_TapAccessor(proof.taps_accum, 1) if has_accum else None,
     )
     cons = air.constraints(ExtAlg(), now, nxt, globals_, pub)
-    combined = combine_constraints(cons, alpha, at_deep=True)
+    zk = air.zk_rows(po2) if hasattr(air, "zk_rows") else 0
+    if zk:
+        # Blinded AIR: Z_H * Q == A_trans + A_point * P_Z (point-class
+        # families hold on real rows only — see _cons_plan / the prover).
+        zc = getattr(air, "_zclass", None)
+        assert zc is not None and len(zc) == len(cons)
+        comb_t = combine_constraints(cons, alpha, at_deep=True, keep=zc)
+        comb_p = combine_constraints(cons, alpha, at_deep=True,
+                                     keep=[not t for t in zc])
+        pz = F.ext_ones(())
+        for r in _zk_root_ints(n, zk):
+            pz = F.ext_mul(pz, F.ext_sub(
+                z_, F.ext_from_base(jnp.asarray(F.mont(r), jnp.uint32))))
+        combined = F.ext_add(comb_t, F.ext_mul(comb_p, pz))
+    else:
+        combined = combine_constraints(cons, alpha, at_deep=True)
     z_pow_n = F.ext_pow_const(z_, n)
     zz = F.ext_sub(z_pow_n, F.ext_ones(()))  # Z(z) = z^N - 1
     qs = _recombine_check_taps(proof.taps_check)  # (4, 4)

@@ -295,8 +295,12 @@ class _WireColumns:
         self.accum = accum
 
 
-def combine_constraints_prog(p: vm.Prog, cons, alpha: int) -> int:
-    """Mirror of stark.combine_constraints at the DEEP point, on wires."""
+def combine_constraints_prog(p: vm.Prog, cons, alpha: int,
+                             keep=None) -> int:
+    """Mirror of stark.combine_constraints at the DEEP point, on wires.
+
+    `keep` (blinding divisor classes): only flagged items enter the sum;
+    α-power indices are assigned over the FULL list either way."""
     from ..prover.stark import ExtVal, VecVal
 
     sizes = []
@@ -305,7 +309,10 @@ def combine_constraints_prog(p: vm.Prog, cons, alpha: int) -> int:
     apows = wire_powers(p, alpha, sum(sizes))
     acc = None
     k = 0
-    for c in cons:
+    for i, c in enumerate(cons):
+        if keep is not None and not keep[i]:
+            k += sizes[i]
+            continue
         if isinstance(c, VecVal):
             for w in c.v:
                 t = p.mul(apows[k], w)
@@ -449,7 +456,25 @@ class StarkVerifier:
             _WireTaps(taps_accum_w, 1) if has_accum else None)
         pub_tree = self.unpack_pub(pub_wires)
         cons = air.constraints(alg, now, nxt, globals_, pub_tree)
-        combined = combine_constraints_prog(p, cons, alpha)
+        zk = air.zk_rows(self.po2) if hasattr(air, "zk_rows") else 0
+        if zk:
+            # Blinded inner AIR: Z_H * Q == A_trans + A_point * P_Z
+            # (mirror of stark.verify; P_Z = vanishing poly of the zk
+            # tail rows, a chain of constant-offset muls on wires).
+            from ..prover.stark import _zk_root_ints
+
+            zc = getattr(air, "_zclass", None)
+            assert zc is not None and len(zc) == len(cons)
+            comb_t = combine_constraints_prog(p, cons, alpha, keep=zc)
+            comb_p = combine_constraints_prog(
+                p, cons, alpha, keep=[not t for t in zc])
+            pz = None
+            for r in _zk_root_ints(1 << self.po2, zk):
+                t = p.addc(z, (P - r, 0, 0, 0))
+                pz = t if pz is None else p.mul(pz, t)
+            combined = p.add(comb_t, p.mul(comb_p, pz))
+        else:
+            combined = combine_constraints_prog(p, cons, alpha)
 
         z_pow_n = pow2k(p, z, self.po2)
         zz = p.addc(z_pow_n, (P - 1, 0, 0, 0))  # z^N - 1

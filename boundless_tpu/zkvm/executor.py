@@ -230,8 +230,19 @@ class Executor:
         self.keccak_claims = []  # 32-byte claim digest per permutation
         self.keccak_states = []  # input lanes per permutation (prover feed)
         self.segment_po2 = segment_po2
-        # Reserve a few cycles of every segment for control rows.
-        self.segment_limit = (1 << segment_po2) - 4
+        # Reserve the blinded zk tail (air/rv32im.zk_rows) plus a few
+        # control rows: instruction rows AND the sorted memory log must
+        # both fit in the real region.
+        from ..air.rv32im import zk_rows
+
+        self._zk = zk_rows(segment_po2)
+        self.segment_limit = (1 << segment_po2) - self._zk - 4
+        # Sorted-log budget: every memory access is one log row (sub-word
+        # stores two). _touch conservatively charges 2 per access, so
+        # memory-heavy segments flush before the log could overflow the
+        # real region.
+        self.mem_op_budget = (1 << segment_po2) - self._zk - 8
+        self.mem_op_count = 0
         self.max_cycles = max_cycles
         self.exit_code = None
         self.touched_words = set()  # byte-aligned word addrs, per segment
@@ -245,6 +256,11 @@ class Executor:
         self.mem[addr & ~3] = value & M32
 
     def _touch(self, addr):
+        if self.mem_op_count + 2 > self.mem_op_budget:
+            # Raised BEFORE any state mutation (same discipline as the
+            # page-budget stop below): the segment flushes cleanly.
+            raise _PageBudgetStop()
+        self.mem_op_count += 2
         pg = (addr >> 2) // 64
         if pg not in self.touched_pages:
             from ..air.rv32im import MEM_PAGES
@@ -318,6 +334,7 @@ class Executor:
         cycles = 0
         self.touched_words = set()
         self.touched_pages = set()
+        self.mem_op_count = 0
         # A segment may touch at most MEM_PAGES 64-word pages (the paging
         # port's public budget, air/rv32im.py): an access that would
         # exceed the budget raises _PageBudgetStop before mutating state,
@@ -476,6 +493,12 @@ class Executor:
                                   for w in self.verify_words[-8:])
                 self.assumptions.append(digest)
         elif code == KECCAK:
+            # Reserve the whole 100-access budget up front: a mid-ecall
+            # budget stop would fire after some stores already mutated
+            # memory (loads precede stores, so the page budget is safe,
+            # but the op budget charges stores too).
+            if self.mem_op_count + 200 > self.mem_op_budget:
+                raise _PageBudgetStop()
             lanes = []
             for i in range(25):
                 lo = self.load(a0 + 8 * i, 4, False)

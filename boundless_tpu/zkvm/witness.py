@@ -14,9 +14,11 @@ TPU chips fed at large po2 (same split as the reference).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
+from ..air import rv32im
 from ..air.rv32im import (DC, CC, TAG, IO_MAX, MEM_PAGES, PAGE_WORDS,
                           MEM_PAGE_ELEMS, PublicValues)
 from ..core import field as F
@@ -107,11 +109,18 @@ def build_ctrl_trace(image: MemoryImage, po2: int) -> np.ndarray:
     Its Merkle-committed LDE root is the program's image id for proofs.
     """
     n = 1 << po2
+    zk = rv32im.zk_rows(po2)
     rows = sorted(image.words.items())
-    assert len(rows) <= n, "program larger than segment trace"
+    # The decoded table must live in the REAL region: a table entry on a
+    # blinded zk row could never be fetched (its multiplicity column is
+    # free there and the LogUp running sum only binds real rows).
+    assert len(rows) <= n - zk, "program larger than real segment rows"
     ctrl = np.zeros((n, CC.total), dtype=np.int64)
     ctrl[0, CC.is_first] = 1
-    ctrl[: n - 1, CC.not_last] = 1
+    # trans gate: transitions between real rows only (blinding region =
+    # last zk rows); boundary claims bind at the last real row.
+    ctrl[: n - zk - 1, CC.not_last] = 1
+    ctrl[n - zk - 1, CC.is_last] = 1
     ctrl[:, CC.clk] = np.arange(n)
     for i, (addr, word) in enumerate(rows):
         row = decode_row(addr, word)
@@ -615,9 +624,26 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         t = addr_to_trow[int(data[clk, DC.pc]) & ~3]
         data[t, DC.mult_fetch] += 1
 
+    # committed degree-helper columns (vectorized; shared by the Python
+    # and native cycle loops — see air/rv32im.py "shared adder"/"sx")
+    a31 = data[:, DC.a_bits.start + 31]
+    b31 = data[:, DC.b_bits.start + 31]
+    data[:, DC.sx] = a31 ^ b31
+    _sel = lambda i: data[:, DC.sel.start + i]
+    _f3 = lambda i: data[:, DC.f3.start + i]
+    alt_c = data[:, DC.alt]
+    alu_nm = (_sel(7) + _sel(8)) * (1 - data[:, DC.is_m])
+    data[:, DC.is_addm] = (alu_nm * _f3(0) * (1 - alt_c)
+                           + _sel(5) + _sel(6) + _sel(3))
+    data[:, DC.is_subm] = (alu_nm * (_f3(0) * alt_c + _f3(2) + _f3(3))
+                           + _sel(4))
+    data[:, DC.sh_sra] = data[:, DC.is_shift_col] * _f3(5) * alt_c
+
     # sorted memory log + paging-port columns
+    zk = rv32im.zk_rows(n.bit_length() - 1)
     mem_ops.sort(key=lambda t: (t[1], t[0]))
-    assert len(mem_ops) <= n, "too many memory ops for trace length"
+    assert len(mem_ops) <= n - zk, \
+        "too many memory ops for the real trace region"
     pre_val = {}  # word addr -> segment-entry value
     final_val = {}  # word addr -> last logged value
     prev_addr = None
@@ -691,6 +717,20 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         io=io,
         mem=mem_pub,
     )
+
+    # --- ZK blinding: the last zk rows of the data trace are free
+    # random field elements (docs/ZK_BLINDING_DESIGN.md). Point-class
+    # constraints only bind real rows (prover divides their composition
+    # terms by Z_H / P_Z), transition/boundary families are ctrl-gated
+    # off this region, and the accum group is recomputed from the
+    # randomized data — so every committed column polynomial carries zk
+    # rows of entropy and the revealed openings are simulatable.
+    if zk:
+        rng = np.random.default_rng(
+            int(os.environ["BT_ZK_SEED"]) if "BT_ZK_SEED" in os.environ
+            else None)
+        data[n - zk:] = rng.integers(0, F.P, size=(zk, data.shape[1]),
+                                     dtype=np.int64)
     return SegmentWitness(data=data, ctrl=ctrl, pub=pub)
 
 

@@ -1,5 +1,7 @@
 """Native (C++) witness generator must be bit-identical to the Python one."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -10,6 +12,9 @@ PO2 = 9
 
 
 def both(image, input_bytes):
+    # Pin the blinding seed: the zk tail is random per witness (filled in
+    # the shared _postprocess), so bit-parity needs the same stream.
+    os.environ["BT_ZK_SEED"] = "1234"
     ex = Executor(image, input_bytes, segment_po2=PO2)
     res = ex.run()
     outs = []

@@ -5,11 +5,13 @@ import pytest
 
 from boundless_tpu.core import field as F
 from boundless_tpu.air import debug
-from boundless_tpu.air.rv32im import Rv32imAir, DC
+from boundless_tpu.air.rv32im import Rv32imAir, DC, zk_rows
 from boundless_tpu.zkvm import guests, witness, prove
 from boundless_tpu.zkvm.executor import Executor
 
 PO2 = 8
+REAL = (1 << PO2) - zk_rows(PO2)  # selector scans: real rows only (the
+#                                   blinded zk tail is random)
 
 AIR = Rv32imAir()
 
@@ -102,7 +104,7 @@ def test_auipc_tampered_rdv_fails():
     res, w = run_and_witness(guests.auipc_guest(), b"")
     bad = w.data.copy()
     # first auipc row: corrupt the committed result limb
-    rows = np.nonzero(bad[:, DC.sel.start + 1])[0]
+    rows = np.nonzero(bad[:REAL, DC.sel.start + 1])[0]
     assert rows.size == 4
     bad[rows[0], DC.rdv.start] = (bad[rows[0], DC.rdv.start] + 1) % F.P
     pub = witness.to_public_values(w.pub)
@@ -122,8 +124,8 @@ def test_subword_tampered_merge_fails():
     """Corrupting an unselected byte of a SB's merged word must fail."""
     res, w = run_and_witness(guests.subword_guest(), b"")
     bad = w.data.copy()
-    rows = np.nonzero(bad[:, DC.sel.start + 6] *
-                      bad[:, DC.f3.start + 0])[0]  # SB rows
+    rows = np.nonzero(bad[:REAL, DC.sel.start + 6] *
+                      bad[:REAL, DC.f3.start + 0])[0]  # SB rows
     assert rows.size == 1
     r = rows[0]
     # flip a bit of a preserved byte (byte 2) in the merged word
@@ -292,7 +294,7 @@ def test_signed_div_tampered_quotient_fails():
     """Corrupting the committed quotient must violate the AIR."""
     res, w = run_and_witness(guests.signed_m_guest(),
                              guests.words([0xFFFFFFF9, 3]))  # -7 / 3
-    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 4])[0]
+    rows = np.nonzero(w.data[:REAL, DC.is_m] * w.data[:REAL, DC.f3.start + 4])[0]
     assert rows.size == 1
     for col in (DC.a_bits.start,          # quotient bit
                 DC.rdv.start,             # committed result limb
@@ -312,7 +314,7 @@ def test_signed_div_wrong_rounding_fails():
     the sign condition alone must catch it."""
     res, w = run_and_witness(guests.signed_m_guest(),
                              guests.words([0xFFFFFFF9, 3]))
-    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 4])[0]
+    rows = np.nonzero(w.data[:REAL, DC.is_m] * w.data[:REAL, DC.f3.start + 4])[0]
     r0 = rows[0]
     bad = w.data.copy()
     qf, rf, b = (-3) & 0xFFFFFFFF, 2, 3  # floor-division witness
@@ -359,7 +361,7 @@ def test_signed_div_wrong_rounding_fails():
 def test_mulh_tampered_result_fails():
     res, w = run_and_witness(guests.signed_m_guest(),
                              guests.words([0xFFFFFFF9, 3]))
-    rows = np.nonzero(w.data[:, DC.is_m] * w.data[:, DC.f3.start + 1])[0]
+    rows = np.nonzero(w.data[:REAL, DC.is_m] * w.data[:REAL, DC.f3.start + 1])[0]
     assert rows.size == 1
     bad = w.data.copy()
     bad[rows[0], DC.rdv.start] = (bad[rows[0], DC.rdv.start] + 1) % F.P

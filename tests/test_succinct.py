@@ -25,6 +25,7 @@ from boundless_tpu.zkvm.executor import Executor
 
 SEG_PO2 = 8
 SEG_PS = stark.ProofSystem(queries=2, fri_min_degree=16, commit_expand=2)
+ECHO_VARIANT = prove.air_variant_of(guests.echo())  # "rv32i"
 CHILD_PO2 = 10
 CHILD_PS = stark.ProofSystem(queries=2, fri_min_degree=16, commit_expand=2)
 
@@ -106,7 +107,10 @@ def echo_receipt():
 
 @pytest.fixture(scope="module")
 def lift_prog():
-    return succinct.build_lift(SEG_PO2, SEG_PS)
+    # echo decodes to the RV32I variant (prove.air_variant_of), so the
+    # production cluster would run the lift_i program for it — build the
+    # same one here.
+    return succinct.build_lift(SEG_PO2, SEG_PS, ECHO_VARIANT)
 
 
 def _run_prog(prog, inputs, pub_vals):
@@ -121,6 +125,7 @@ def _run_prog(prog, inputs, pub_vals):
     return data
 
 
+@pytest.mark.slow
 def test_lift_program_accepts_and_derives_claim(echo_receipt, lift_prog):
     r = echo_receipt
     pre_mem = dict(guests.echo().words)
@@ -129,7 +134,7 @@ def test_lift_program_accepts_and_derives_claim(echo_receipt, lift_prog):
                                     pre_mem_root=pre_root,
                                     post_mem_root=post_root)
     wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
-                                pre_mem=pre_mem)
+                                pre_mem=pre_mem, variant=r.variant)
     pub_vals = list(claim.digest()) + [0] * 16
     _run_prog(lift_prog, wit, pub_vals)
     # echo's journal chain is the fold of its committed words
@@ -139,6 +144,7 @@ def test_lift_program_accepts_and_derives_claim(echo_receipt, lift_prog):
         claims.ZERO_CHAIN, [2, 21, 22])
 
 
+@pytest.mark.slow
 def test_lift_program_rejects_wrong_claim(echo_receipt, lift_prog):
     r = echo_receipt
     pre_mem = dict(guests.echo().words)
@@ -147,13 +153,14 @@ def test_lift_program_rejects_wrong_claim(echo_receipt, lift_prog):
                                     pre_mem_root=pre_root,
                                     post_mem_root=post_root)
     wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
-                                pre_mem=pre_mem)
+                                pre_mem=pre_mem, variant=r.variant)
     bad = list(claim.digest())
     bad[0] ^= 1
     with pytest.raises(vm.EvalError):
         vm.evaluate_auto(lift_prog, wit, bad + [0] * 16)
 
 
+@pytest.mark.slow
 def test_lift_program_rejects_tampered_proof(echo_receipt, lift_prog):
     r = echo_receipt
     pre_mem = dict(guests.echo().words)
@@ -162,10 +169,17 @@ def test_lift_program_rejects_tampered_proof(echo_receipt, lift_prog):
                                     pre_mem_root=pre_root,
                                     post_mem_root=post_root)
     wit = succinct.lift_witness(r.pub, r.proof, SEG_PO2, SEG_PS,
-                                pre_mem=pre_mem)
+                                pre_mem=pre_mem, variant=r.variant)
     pub_vals = list(claim.digest()) + [0] * 16
+    # Sample tamper positions from the serialized PROOF region only:
+    # trailing wires include page-walk siblings of UNUSED page entries
+    # (pmask = 0), which are genuinely free witness — tampering those is
+    # legitimately accepted.
+    proof_len = len(programs.serialize_proof(
+        succinct.RV_AIRS[r.variant], r.proof, succinct.rv_pub_flat(r.pub),
+        SEG_PO2, SEG_PS))
     rng = np.random.default_rng(1)
-    for k in sorted(rng.choice(len(wit), size=4, replace=False)):
+    for k in sorted(rng.choice(proof_len, size=4, replace=False)):
         bad = list(wit)
         t = list(bad[k])
         t[0] = (t[0] + 1) % F.P
@@ -174,6 +188,7 @@ def test_lift_program_rejects_tampered_proof(echo_receipt, lift_prog):
             vm.evaluate_auto(lift_prog, bad, pub_vals)
 
 
+@pytest.mark.slow
 def test_lift_program_rejects_forged_io_order(lift_prog):
     """The io LogUp sum is order-independent, so a segment proof with a
     permuted public io table is VALID at the STARK layer — reordering
@@ -191,10 +206,11 @@ def test_lift_program_rejects_forged_io_order(lift_prog):
     a, b = rows[0], rows[1]
     io[[a, b]] = io[[b, a]]
     ctrl, image_id = prove._image_ctrl(guests.echo(), SEG_PO2, SEG_PS)
-    proof = prove._prover(SEG_PO2, SEG_PS)(
-        F.fp(w.data), witness.to_public_values(w.pub), ctrl)
+    proof = prove._prover(SEG_PO2, SEG_PS, ECHO_VARIANT)(
+        F.fp(witness.data_for_variant(w.data, ECHO_VARIANT)),
+        witness.to_public_values(w.pub), ctrl)
     # the forged-order proof verifies at the segment layer...
-    assert bool(prove._verifier(SEG_PO2, SEG_PS)(
+    assert bool(prove._verifier(SEG_PO2, SEG_PS, ECHO_VARIANT)(
         proof, witness.to_public_values(w.pub),
         F.fp(np.asarray(image_id, dtype=np.int64))))
     # ...but the lift program rejects it (seq out of order)
@@ -204,7 +220,7 @@ def test_lift_program_rejects_forged_io_order(lift_prog):
                                      pre_mem_root=pre_root,
                                      post_mem_root=post_root)
     wit = succinct.lift_witness(w.pub, proof, SEG_PO2, SEG_PS,
-                                pre_mem=pre_mem)
+                                pre_mem=pre_mem, variant=ECHO_VARIANT)
     with pytest.raises(vm.EvalError):
         vm.evaluate_auto(lift_prog, wit, list(forged.digest()) + [0] * 16)
 
@@ -274,6 +290,7 @@ def _chainable_pair():
     return a, b
 
 
+@pytest.mark.slow
 def test_join_program(stub_system):
     s = stub_system
     ca, cb = _chainable_pair()
@@ -301,6 +318,7 @@ def test_join_program(stub_system):
         vm.evaluate_auto(prog, wit, bad_pub)
 
 
+@pytest.mark.slow
 def test_session_finalize_and_verify(stub_system):
     words = [5, 6, 0xDEADBEEF]
     c = _dummy_claim(
@@ -341,6 +359,7 @@ def test_session_finalize_and_verify(stub_system):
     assert not succinct.verify_session(s_bad, stub_system)
 
 
+@pytest.mark.slow
 def test_resolve_program(stub_system):
     s = stub_system
     asm_claim = _dummy_claim(halted=1)
