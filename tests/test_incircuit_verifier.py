@@ -51,6 +51,7 @@ def _finalize(prog):
     return prog.finalize(n), n
 
 
+@pytest.mark.slow
 def test_incircuit_verify_accepts(inner_proof, verifier_prog):
     air, proof, root = inner_proof
     prog, n = _finalize(verifier_prog.prog)
@@ -64,6 +65,7 @@ def test_incircuit_verify_accepts(inner_proof, verifier_prog):
     assert ok, failures
 
 
+@pytest.mark.slow
 def test_incircuit_verify_rejects_tampering(inner_proof, verifier_prog):
     air, proof, root = inner_proof
     prog, n = _finalize(verifier_prog.prog)
@@ -80,6 +82,7 @@ def test_incircuit_verify_rejects_tampering(inner_proof, verifier_prog):
             vm.evaluate(prog, bad, pub_vals)
 
 
+@pytest.mark.slow
 def test_incircuit_verify_rejects_wrong_binding(inner_proof, verifier_prog):
     air, proof, root = inner_proof
     prog, n = _finalize(verifier_prog.prog)

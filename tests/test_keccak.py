@@ -22,6 +22,7 @@ def _rand_states(n):
             for _ in range(n)]
 
 
+@pytest.mark.slow
 def test_witness_matches_reference_and_air():
     states = _rand_states(2)
     data, pub, outs = K.witness(states, 6)
@@ -33,6 +34,7 @@ def test_witness_matches_reference_and_air():
     assert ok, failures[:5]
 
 
+@pytest.mark.slow
 def test_tampered_public_state_rejected_at_witness_level():
     states = _rand_states(1)
     data, pub, _ = K.witness(states, 6)
