@@ -59,15 +59,19 @@ class Groth16Receipt:
     inner: object  # real: Groth16Seal; dev: the carried session receipt
 
     def seal_bytes(self) -> bytes:
-        return (bytes.fromhex(self.selector[2:]) + self.claim_digest
-                + hashlib.sha256(self.journal).digest())
+        jd = (journal_digest_blake3_style(self.journal)
+              if self.kind == "blake3_groth16"
+              else hashlib.sha256(self.journal).digest())
+        return (bytes.fromhex(self.selector[2:]) + self.claim_digest + jd)
 
 
 def journal_digest_blake3_style(journal: bytes) -> bytes:
-    """Journal digest for the blake3_groth16 flavor (reference binds the
-    journal with BLAKE3; we use sha256 domain-separated until a BLAKE3
-    impl lands)."""
-    return hashlib.sha256(b"blake3-journal:" + journal).digest()
+    """Journal digest for the blake3_groth16 flavor: REAL BLAKE3
+    (core/blake3.py; matches the reference's `blake3` crate —
+    `blake3_groth16/src/receipt.rs`)."""
+    from ..core import blake3
+
+    return blake3.digest(journal)
 
 
 def _verify_session(session, system=None) -> bool:
@@ -101,17 +105,33 @@ _WRAP_KEYS = {}
 
 @dataclasses.dataclass
 class WrapKey:
-    td: object  # qap.Trapdoor (dev CRS)
+    td: object  # qap.Trapdoor (dev CRS); None in MSM/ceremony mode
     vk: object  # protocol.VerifyingKey
     n_rows: int
     n_vars: int
+    pk: object = None  # protocol.ProvingKey (MSM prover path)
+
+
+def _prover_mode() -> str:
+    """trapdoor (dev default) | msm (production-shaped MSM prover).
+
+    BT_GROTH16_CRS=<path> additionally selects ceremony-CRS ingestion:
+    the proving key is LOADED (groth16/crs.py zkey-shaped container) and
+    no trapdoor is ever materialized — the production deployment shape
+    (reference fetches rapidsnark zkey artifacts,
+    `xtask/src/setup_blake3_groth16.rs`)."""
+    import os
+
+    if os.environ.get("BT_GROTH16_CRS"):
+        return "crs"
+    return os.environ.get("BT_GROTH16_PROVER", "trapdoor")
 
 
 def wrap_key_for(p254) -> WrapKey:
-    """Build (once per identity system) the wrap circuit layout + dev
-    CRS. Layout mode emits the identical constraint sequence the
-    concrete prover walks, so the trapdoor/VK match every proof."""
-    key = (p254.system.params, tuple(p254.control_id))
+    """Build (once per identity system) the wrap circuit layout + CRS.
+    Layout mode emits the identical constraint sequence the concrete
+    prover walks, so the keys match every proof."""
+    key = (p254.system.params, tuple(p254.control_id), _prover_mode())
     if key in _WRAP_KEYS:
         return _WRAP_KEYS[key]
     from ..recursion import air as rair
@@ -122,8 +142,26 @@ def wrap_key_for(p254) -> WrapKey:
     C.build_verifier(bld, rair.AIR, p254.po2, p254.ps254,
                      p254.control_id, proof=None, pub_vals=None)
     sys_ = bld.to_sparse()
-    td, vk = qap.setup_trapdoor(sys_)
-    wk = WrapKey(td=td, vk=vk, n_rows=len(sys_.rows), n_vars=sys_.n_vars)
+    mode = _prover_mode()
+    if mode == "crs":
+        import os
+
+        from . import crs as crs_mod
+
+        pk, vk, meta = crs_mod.load_crs(os.environ["BT_GROTH16_CRS"])
+        assert (meta.n_rows, meta.n_vars) == (len(sys_.rows),
+                                              sys_.n_vars), \
+            "CRS file does not match the wrap circuit layout"
+        wk = WrapKey(td=None, vk=vk, n_rows=meta.n_rows,
+                     n_vars=meta.n_vars, pk=pk)
+    elif mode == "msm":
+        pk, vk = qap.setup_sparse(sys_)
+        wk = WrapKey(td=None, vk=vk, n_rows=len(sys_.rows),
+                     n_vars=sys_.n_vars, pk=pk)
+    else:
+        td, vk = qap.setup_trapdoor(sys_)
+        wk = WrapKey(td=td, vk=vk, n_rows=len(sys_.rows),
+                     n_vars=sys_.n_vars)
     _WRAP_KEYS[key] = wk
     return wk
 
@@ -147,7 +185,12 @@ def _real_compress(session, kind: str, system) -> Groth16Receipt:
     sys_ = bld.to_sparse()
     assert len(sys_.rows) == wk.n_rows and sys_.n_vars == wk.n_vars, \
         "wrap circuit layout drifted from the CRS"
-    proof = qap.prove_with_trapdoor(sys_, wk.td, bld.witness())
+    if wk.pk is not None:
+        # production-shaped prover: coset-NTT QAP division + Pippenger
+        # MSMs over the CRS (no trapdoor anywhere in the process)
+        proof = qap.prove_sparse(sys_, wk.pk, bld.witness())
+    else:
+        proof = qap.prove_with_trapdoor(sys_, wk.td, bld.witness())
     pv = [int(x) for x in shr.pub_vals]
     publics = tuple(P254.pack_bb(pv[8 * i : 8 * i + 8]) for i in range(3))
     seal = Groth16Seal(proof=proof, vk=wk.vk, publics=publics,
