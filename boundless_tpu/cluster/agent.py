@@ -66,6 +66,12 @@ class ClusterContext:
     succinct: Optional[object] = "real"
     dev_mode: bool = False
     coproc_po2: int = 8  # keccak batch segment size (10 perms at 2^8)
+    # optional succinct coproc lattice (recursion.coproc_succinct
+    # .CoprocSystem / DevModeCoprocSystem): when set, keccak batches are
+    # lifted to constant-size coproc receipts and the union tree runs
+    # the succinct union program alongside the aggregation plane
+    # (reference union.rs:44-50 SuccinctReceipt semantics).
+    coproc_succinct: Optional[object] = None
 
     def __post_init__(self):
         if self.dev_mode and not hasattr(self.succinct, "DEV_ROOT"):
@@ -192,14 +198,25 @@ class Agent:
         # drive the union tree (reference executor.rs:614-676)
         if ex.keccak_states:
             from ..air.keccak import max_perms
+            from ..recursion import claims as rclaims
+            from ..recursion import coproc_succinct as rcs
 
             batch = max(1, max_perms(self.ctx.coproc_po2))
             states = ex.keccak_states
             d = dict(d, keccak_claims=[c.hex() for c in ex.keccak_claims])
+            # per-batch digest-chain prefixes (the succinct lattice's
+            # span semantics: batch i lifts with pre = fold(batches <i))
+            chain, count = rclaims.ZERO_CHAIN, 0
             for b in range(0, len(states), batch):
                 idx = b // batch
                 self.ctx.hot.set(hs.coproc_state_key(job, idx),
-                                 states[b : b + batch])
+                                 dict(states=states[b : b + batch],
+                                      pre_chain=list(chain),
+                                      pre_count=count))
+                for cdig in ex.keccak_claims[b : b + batch]:
+                    chain = rcs.chain_step(
+                        chain, rclaims.digest_from_bytes(cdig))
+                    count += 1
                 planner.enqueue_keccak(idx)
                 self._emit_ready(job, planner, tid_of, d, chain_meta)
         fin = planner.finish()
@@ -306,9 +323,17 @@ class Agent:
             raise RuntimeError("union inputs missing from hot store")
         u = coproc.union(left, right)
         self.ctx.hot.set(hs.keccak_receipt_key(job, d["out"]), u)
-        return dict(digests=len(u.digests())), [
-            hs.keccak_receipt_key(job, d["deps"][0]),
-            hs.keccak_receipt_key(job, d["deps"][1])]
+        cleanup = [hs.keccak_receipt_key(job, d["deps"][0]),
+                   hs.keccak_receipt_key(job, d["deps"][1])]
+        if self.ctx.coproc_succinct is not None:
+            ls = self.ctx.hot.get(hs.coproc_succ_key(job, d["deps"][0]))
+            rs = self.ctx.hot.get(hs.coproc_succ_key(job, d["deps"][1]))
+            if ls is not None and rs is not None:
+                us = self.ctx.coproc_succinct.union(ls, rs)
+                self.ctx.hot.set(hs.coproc_succ_key(job, d["out"]), us)
+                cleanup += [hs.coproc_succ_key(job, d["deps"][0]),
+                            hs.coproc_succ_key(job, d["deps"][1])]
+        return dict(digests=len(u.digests())), cleanup
 
     def _task_keccak(self, task):
         """Prove one keccak batch (reference keccak.rs:71-84)."""
@@ -316,13 +341,23 @@ class Agent:
 
         d = task.definition
         job = task.job_id
-        states = self.ctx.hot.get(hs.coproc_state_key(job, d["claim"]))
-        if states is None:
+        payload = self.ctx.hot.get(hs.coproc_state_key(job, d["claim"]))
+        if payload is None:
             raise RuntimeError("keccak states missing from hot store")
+        if isinstance(payload, dict):
+            states = payload["states"]
+            pre_chain = tuple(payload["pre_chain"])
+            pre_count = int(payload["pre_count"])
+        else:  # pre-r4 wire format: bare state list
+            states, pre_chain, pre_count = payload, None, 0
         r = coproc.prove_keccak(states, po2=self.ctx.coproc_po2,
                                 ps=self.ctx.ps,
                                 dev_mode=self.ctx.dev_mode)
         self.ctx.hot.set(hs.keccak_receipt_key(job, d["out"]), r)
+        if self.ctx.coproc_succinct is not None and pre_chain is not None:
+            sr = self.ctx.coproc_succinct.lift(r, pre_chain=pre_chain,
+                                               pre_count=pre_count)
+            self.ctx.hot.set(hs.coproc_succ_key(job, d["out"]), sr)
         return dict(perms=r.count), [hs.coproc_state_key(job, d["claim"])]
 
     def _task_resolve(self, task):
@@ -351,6 +386,28 @@ class Agent:
                 raise RuntimeError(
                     f"resolve: {len(missing)} keccak claims unproven")
             self.ctx.store.put("receipts/coproc", job, u)
+            if self.ctx.coproc_succinct is not None:
+                from ..recursion import claims as rclaims
+                from ..recursion import coproc_succinct as rcs
+
+                us = self.ctx.hot.get(hs.coproc_succ_key(
+                    job, d["coproc_root"]))
+                if us is not None:
+                    if not self.ctx.coproc_succinct.verify(us):
+                        raise RuntimeError(
+                            "resolve: succinct coproc union invalid")
+                    # the union claim's span must be exactly the guest's
+                    # ecall chain (genesis -> fold of keccak_claims)
+                    chain = rclaims.ZERO_CHAIN
+                    for h in d.get("keccak_claims", []):
+                        chain = rcs.chain_step(
+                            chain,
+                            rclaims.digest_from_bytes(bytes.fromhex(h)))
+                    if (us.claim.pre_chain != rclaims.ZERO_CHAIN
+                            or us.claim.post_chain != chain):
+                        raise RuntimeError(
+                            "resolve: succinct coproc chain mismatch")
+                    self.ctx.store.put("receipts/coproc_succ", job, us)
         if self.ctx.succinct_sys() is not None:
             resolved = self._succinct_resolve(root, d)
             claim_hex = claims.digest_bytes(resolved.claim.digest()).hex()

@@ -71,6 +71,11 @@ def keccak_receipt_key(job_id, idx):
     return f"job:{job_id}:keccak_receipts:{idx}"
 
 
+def coproc_succ_key(job_id, idx):
+    """Succinct coproc receipt (lift_keccak/union) for a coproc task."""
+    return f"job:{job_id}:coproc_succ:{idx}"
+
+
 def coproc_state_key(job_id, idx):
     return f"job:{job_id}:coproc:{idx}"
 
