@@ -296,3 +296,29 @@ def test_broker_backlog_deadline_feasibility(world):
     broker._evaluate_order(rid)
     assert broker.orders[rid].status == OrderStatus.SKIPPED
     assert "deadline infeasible" in broker.orders[rid].error
+
+
+def test_order_stream_durable_across_restart(world, tmp_path):
+    """Durable order log (reference order_db.rs role): a restarted stream
+    serves the same feed from its sqlite DB, so broker cursors resume."""
+    from boundless_tpu.market.types import sign_request
+
+    chain, client, provider = world
+    db = str(tmp_path / "orders.sqlite")
+    stream = OrderStream(db_path=db)
+    r1 = client.build_request(guests.echo(), guests.words([1, 3]))
+    r2 = client.build_request(guests.echo(), guests.words([1, 4]))
+    stream.submit(r1, sign_request(r1, ALICE))
+    stream.submit(r2, sign_request(r2, ALICE))
+    with pytest.raises(PermissionError):
+        stream.submit(r2, b"x" * 65)  # rejected -> never persisted
+    # restart
+    stream2 = OrderStream(db_path=db)
+    orders = stream2.orders_since(0)
+    assert [o[0].id.encoded() for o in orders] == [
+        r1.id.encoded(), r2.id.encoded()]
+    # resumed feed still verifies signatures and accepts new orders
+    assert all(o[0].signing_digest() for o in orders)
+    r3 = client.build_request(guests.echo(), guests.words([1, 5]))
+    stream2.submit(r3, sign_request(r3, ALICE))
+    assert len(OrderStream(db_path=db).orders_since(0)) == 3
