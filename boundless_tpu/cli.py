@@ -190,9 +190,103 @@ def cmd_cluster_worker(args):
 
 
 def cmd_requestor_submit(args):
-    print("requestor submit requires a running market; see "
-          "tests/test_market.py for the programmatic flow", file=sys.stderr)
-    sys.exit(1)
+    """One-shot requestor flow against a local market + broker
+    (reference `boundless requestor submit` / submit-file,
+    `crates/boundless-cli/src/commands/requestor/mod.rs:62`): build the
+    request with the layered builder, submit on-chain, let a dev-mode
+    broker price/lock/prove/fulfill, print (journal, seal)."""
+    import hashlib
+
+    from .cluster.storage import SharedFs
+    from .market.broker.pipeline import Broker, BrokerConfig
+    from .market.chain import MarketChain
+    from .market.client import Client, LocalStorageProvider
+    from .market.crypto import Wallet
+    from .zkvm import guests
+    from .zkvm.executor import Executor
+
+    class DevProver:
+        def preflight(self, image, input_data):
+            return Executor(image, input_data).run().total_cycles
+
+        def prove(self, image, input_data):
+            res = Executor(image, input_data).run()
+            seal = {"dev_mode": True, "journal": res.journal,
+                    "image_id": res.image_id.hex()}
+            return (res.journal, seal,
+                    hashlib.sha256(res.journal).digest())
+
+    def verifier(fill, req):
+        return (fill.seal.get("dev_mode")
+                and fill.seal["journal"] == fill.journal
+                and fill.seal["image_id"] == req.requirements.image_id)
+
+    image = _load_image(args.image)
+    payload = [int(x) for x in args.input.split(",")] if args.input else []
+    chain = MarketChain(verifier)
+    wallet = Wallet.from_seed((args.key or "requestor").encode())
+    chain.create_account(wallet.address, funds=10**9)
+    chain.create_account("prover-node", funds=10**7)
+    chain.deposit_collateral("prover-node", 10**6)
+    provider = LocalStorageProvider(SharedFs())
+    client = Client(chain, wallet, storage_provider=provider)
+    broker = Broker(chain, DevProver(), "prover-node",
+                    BrokerConfig(min_mcycle_price=0), storage=provider)
+    broker.start()
+    try:
+        req = client.build_request(image, guests.words(payload))
+        print(f"request {req.id.encoded()}: auction "
+              f"{req.offer.min_price}..{req.offer.max_price} wei")
+        rid = client.submit_onchain(req)
+        journal, seal = client.wait_for_fulfillment(
+            rid, timeout=args.timeout)
+        print(f"status: {chain.request_status(rid)}")
+        print(f"journal: {journal.hex()}")
+        print(f"seal: dev_mode={seal.get('dev_mode')} "
+              f"image_id={seal.get('image_id')}")
+    finally:
+        broker.stop()
+
+
+def cmd_rewards_emissions(args):
+    """Per-epoch ZKC emission split (reference `boundless rewards`
+    commands, `crates/boundless-cli/src/commands/rewards/mod.rs:78`;
+    IZKC.getEmissionsForEpoch)."""
+    from .market.povw import EmissionSchedule
+
+    sched = EmissionSchedule()
+    for ep in range(args.epoch, args.epoch + args.count):
+        total = sched.emissions_for_epoch(ep)
+        print(json.dumps(dict(epoch=ep, total=total,
+                              povw=sched.povw_emissions(ep),
+                              staking=sched.staking_emissions(ep))))
+
+
+def cmd_rewards_mint(args):
+    """Compute per-prover PoVW mints for an epoch from a work-log JSON
+    file ([{prover, cycles, claim_digest}, ...] — the role of the
+    reference mint-calculator guest over a posted work log)."""
+    import hashlib
+
+    from .market.povw import MintCalculator, WorkLog
+
+    with open(args.log) as f:
+        entries = json.load(f)
+    # entries land in the epoch named in the file (default 0); the log's
+    # clock sits one epoch past the largest so every epoch is closed
+    max_ep = max((int(e.get("epoch", 0)) for e in entries), default=0)
+    log = WorkLog(epoch_seconds=1.0, clock=lambda: max_ep + 1)
+    for e in entries:
+        log.clock = lambda ep=int(e.get("epoch", 0)): ep
+        log.record(e["prover"], int(e["cycles"]),
+                   bytes.fromhex(e.get("claim_digest") or
+                                 hashlib.sha256(json.dumps(
+                                     e, sort_keys=True).encode()
+                                                ).hexdigest()))
+        log.clock = lambda: max_ep + 1
+    mints = MintCalculator(log, epoch_reward=args.epoch_reward
+                           ).mint_for_epoch(args.epoch)
+    print(json.dumps(mints, indent=2, sort_keys=True))
 
 
 def main(argv=None):
@@ -248,7 +342,25 @@ def main(argv=None):
     requestor = sub.add_parser("requestor").add_subparsers(dest="cmd",
                                                            required=True)
     sb = requestor.add_parser("submit")
+    sb.add_argument("--image", default="echo",
+                    help="guest name (echo/loop/...) or image path")
+    sb.add_argument("--input", default="3,11,22,33",
+                    help="comma-separated input words")
+    sb.add_argument("--key", default=None, help="requestor key seed")
+    sb.add_argument("--timeout", type=float, default=600.0)
     sb.set_defaults(fn=cmd_requestor_submit)
+
+    rewards = sub.add_parser("rewards").add_subparsers(dest="cmd",
+                                                       required=True)
+    em = rewards.add_parser("emissions")
+    em.add_argument("--epoch", type=int, default=0)
+    em.add_argument("--count", type=int, default=1)
+    em.set_defaults(fn=cmd_rewards_emissions)
+    mi = rewards.add_parser("mint")
+    mi.add_argument("--log", required=True, help="work-log JSON file")
+    mi.add_argument("--epoch", type=int, default=0)
+    mi.add_argument("--epoch-reward", type=int, default=1_000_000)
+    mi.set_defaults(fn=cmd_rewards_mint)
 
     args = p.parse_args(argv)
     args.fn(args)
