@@ -150,9 +150,18 @@ def cmd_cluster_serve(args):
         from .recursion import succinct as S
 
         system, dev_mode = S.DevModeSystem(), True
+    dp_addr = cfg.get("dataplane") or getattr(args, "dataplane", None)
+    if dp_addr:  # shared multi-host substrate (cluster/dataplane.py)
+        from .cluster.dataplane import connect as dp_connect
+
+        host_, _, port_ = str(dp_addr).rpartition(":")
+        db_, hot_ = dp_connect((host_ or "127.0.0.1", int(port_)))
+    else:
+        db_ = MemoryBackend()
+        hot_ = HotStore(float(cfg.get("hot_store_ttl_secs", 28800)))
     ctx = ClusterContext(
-        db=MemoryBackend(),
-        hot=HotStore(float(cfg.get("hot_store_ttl_secs", 28800))),
+        db=db_,
+        hot=hot_,
         store=SharedFs(cfg.get("storage_root") or args.storage),
         ps=ps,
         segment_po2=int(cfg.get("segment_po2", args.po2)),
@@ -323,6 +332,9 @@ def main(argv=None):
     sv.add_argument("--storage", default=None)
     sv.add_argument("--config", default=None,
                     help="deploy descriptor (deploy/cluster.json)")
+    sv.add_argument("--dataplane", default=None,
+                    help="host:port of a shared data-plane server "
+                         "(cluster dataplane); N hosts share one job")
     sv.add_argument("--succinct", choices=("real", "dev", "off"),
                     default="real",
                     help="recursion mode (default: real succinct receipts)")
@@ -338,6 +350,18 @@ def main(argv=None):
     wk.add_argument("--token", default=None)
     wk.add_argument("--idle-timeout", type=float, default=None)
     wk.set_defaults(fn=cmd_cluster_worker)
+
+    dp = cluster.add_parser(
+        "dataplane", help="standalone taskdb/hot-store server (the "
+                          "Redis/Valkey role; N hosts share one job)")
+    dp.add_argument("--host", default="127.0.0.1")
+    dp.add_argument("--port", type=int, default=7350)
+    dp.add_argument("--sqlite", default=None,
+                    help="durable sqlite path (default: memory backend)")
+    dp.set_defaults(fn=lambda a: __import__(
+        "boundless_tpu.cluster.dataplane", fromlist=["main"]).main(
+            ["--host", a.host, "--port", str(a.port)]
+            + (["--sqlite", a.sqlite] if a.sqlite else [])))
 
     requestor = sub.add_parser("requestor").add_subparsers(dest="cmd",
                                                            required=True)
