@@ -96,6 +96,48 @@ class AssessorReceipt:
                            + self.prover.encode())
 
 
+def assessor_guest_input(fills: List[Tuple[ProofRequest, bytes,
+                                           "Fulfillment"]]) -> bytes:
+    """Build the assessor GUEST's input stream (zkvm/guests.assessor).
+
+    Per fill: 8 LE words of the app claim digest (each VERIFY'd by the
+    guest, binding the app proof as an assumption), the predicate kind,
+    and for prefix predicates the interleaved journal/expected words.
+    CLAIM_MATCH maps to kind 0 (the VERIFY binding is the whole check);
+    PREFIX_MATCH to kind 1; DIGEST_MATCH (sha256) has no in-guest form
+    yet and must stay on the host path.
+    """
+    from ..zkvm.guests import words
+    from .types import PredicateType
+
+    def _w(b: bytes) -> List[int]:
+        b = b + b"\0" * (-len(b) % 4)
+        return [int.from_bytes(b[i : i + 4], "little")
+                for i in range(0, len(b), 4)]
+
+    out = [len(fills)]
+    for req, _sig, fill in fills:
+        pred = req.requirements.predicate
+        digest_words = _w(fill.claim_digest)
+        assert len(digest_words) == 8
+        out += digest_words
+        if pred.kind == PredicateType.PREFIX_MATCH:
+            jw, ew = _w(fill.journal), _w(pred.data)
+            # word-aligned prefix compare (sub-word tails take the whole
+            # word: the builder only emits byte-aligned predicates)
+            out += [1, len(jw), len(ew)]
+            for i, w in enumerate(jw):
+                out.append(w)
+                if i < len(ew):
+                    out.append(ew[i])
+        elif pred.kind == PredicateType.CLAIM_MATCH:
+            out.append(0)
+        else:
+            raise MarketError(
+                "assessor guest: DIGEST_MATCH requires the host path")
+    return words(out)
+
+
 class Assessor:
     """Checks fills against signed requests and attests to the set root
     (reference `crates/assessor` + assessor-guest/src/main.rs:24-115).
@@ -113,6 +155,20 @@ class Assessor:
 
         self.wallet = wallet or C.Wallet.from_seed(b"assessor-dev-key")
         self.address = self.wallet.address
+
+    def guest_session(self, fills: List[Tuple[ProofRequest, bytes,
+                                              "Fulfillment"]]):
+        """(image, input) for proving the assessor AS A GUEST through the
+        cluster: the guest VERIFY-binds every fill's app claim digest (so
+        the fulfillment proof composes over the app proofs via the
+        resolve lattice) and enforces prefix/claim predicates in-guest —
+        a failed predicate faults the execution, the reference guest's
+        panic semantics (assessor-guest/src/main.rs:24-115). Signature
+        recovery stays in `assess` (host) until in-guest secp256k1 lands.
+        """
+        from ..zkvm import guests
+
+        return guests.assessor(), assessor_guest_input(fills)
 
     def assess(self, fills: List[Tuple[ProofRequest, bytes, Fulfillment]],
                prover: str) -> AssessorReceipt:

@@ -308,3 +308,89 @@ permute:
 
 def keccak_guest() -> MemoryImage:
     return build(KECCAK_SRC)
+
+
+# assessor: the market fulfillment guest (reference
+# crates/guest/assessor/assessor-guest/src/main.rs:24-115 role, reshaped
+# for this zkVM's composition primitives). Input stream (READ ecalls):
+#
+#   n_fills
+#   per fill:
+#     8 words  app claim digest  -> each VERIFY'd (binds the app proof
+#                                   as an assumption) and committed
+#     1 word   predicate kind    (0 = claim-match: the VERIFY binding IS
+#                                 the check; 1 = prefix-match)
+#     kind 1 only:
+#       L (total journal words), E (compare words), then L journal words
+#       where each of the first E is followed by its expected word —
+#       reading the journal folds it into the assessor claim's input
+#       chain, and a mismatch faults the guest (no proof exists, the
+#       reference guest's panic semantics).
+#
+# The committed journal (AssessorJournal analogue) is
+# [n_fills, fill_0 digest words + kind, ...]. ECDSA signature recovery
+# stays host-side (secp256k1 bignum in-guest is roadmap — the remaining
+# gap to BASELINE config 3; docs/PARITY.md).
+ASSESSOR_SRC = """
+start:
+    li t0, 2
+    ecall               # n_fills
+    mv s1, a0
+    li t0, 1
+    ecall               # commit n_fills
+fill_loop:
+    beqz s1, done
+    li s2, 8
+dw_loop:
+    beqz s2, pred
+    li t0, 2
+    ecall               # read digest word
+    mv s4, a0
+    li t0, 4
+    ecall               # VERIFY word (assumption binding)
+    mv a0, s4
+    li t0, 1
+    ecall               # commit word
+    addi s2, s2, -1
+    j dw_loop
+pred:
+    li t0, 2
+    ecall               # predicate kind
+    mv s5, a0
+    li t0, 1
+    ecall               # commit kind
+    beqz s5, next_fill
+    li t0, 2
+    ecall               # L journal words
+    mv s6, a0
+    li t0, 2
+    ecall               # E compare words
+    mv s7, a0
+    blt s6, s7, fault
+cmp_loop:
+    beqz s6, next_fill
+    li t0, 2
+    ecall               # journal word
+    mv s8, a0
+    addi s6, s6, -1
+    beqz s7, cmp_loop
+    li t0, 2
+    ecall               # expected word
+    bne a0, s8, fault
+    addi s7, s7, -1
+    j cmp_loop
+fault:
+    li t0, 6
+    ecall               # unknown ecall: guest faults, no proof exists
+next_fill:
+    addi s1, s1, -1
+    j fill_loop
+done:
+    li t0, 0
+    li a0, 0
+    ecall
+"""
+
+
+def assessor() -> MemoryImage:
+    return build(ASSESSOR_SRC)
