@@ -82,3 +82,76 @@ def test_assessor_guest_rejects_sha_predicates():
               _Fill(d, b"abc"))]
     with pytest.raises(MarketError):
         assessor_guest_input(fills)
+
+
+def test_cluster_assessor_composition_devmode():
+    """BASELINE config-3 shape end-to-end (dev-mode receipts): an app
+    (echo) session is proven, then the ASSESSOR GUEST session verifies
+    the app claim as an assumption and enforces the request's prefix
+    predicate in-guest; resolve discharges the assumption against the
+    published app receipt and the assessor session finalizes."""
+    import time
+
+    from boundless_tpu.cluster.agent import ClusterContext, run_workers
+    from boundless_tpu.cluster.api import ClusterApi
+    from boundless_tpu.cluster.hotstore import HotStore
+    from boundless_tpu.cluster.storage import SharedFs
+    from boundless_tpu.cluster.taskdb import MemoryBackend
+    from boundless_tpu.recursion import claims, succinct
+    from boundless_tpu.utils import serde
+    from boundless_tpu.zkvm import prove
+
+    ctx = ClusterContext(db=MemoryBackend(), hot=HotStore(),
+                         store=SharedFs(), ps=prove.TEST_PS,
+                         segment_po2=11,
+                         succinct=succinct.DevModeSystem(), dev_mode=True)
+    api = ClusterApi(ctx)
+
+    def run_job(img, input_bytes, timeout=60):
+        iid = f"in-{time.monotonic_ns()}"
+        api.upload_input(iid, input_bytes)
+        job = api.create_session(dict(img=img, input=iid,
+                                      segment_po2=11))["uuid"]
+        threads, agents = run_workers(
+            ctx, {"exec": 1, "prove": 2, "join": 1, "aux": 1})
+        deadline = time.time() + timeout
+        st = None
+        try:
+            while time.time() < deadline:
+                st = api.session_status(job)
+                if st["status"] in ("SUCCEEDED", "FAILED"):
+                    break
+                time.sleep(0.05)
+        finally:
+            for a in agents:
+                a.stop()
+        return job, st
+
+    api.upload_image("echo", serde.dump_image(guests.echo()))
+    api.upload_image("assessor", serde.dump_image(guests.assessor()))
+    payload = [7, 9]
+    job1, st1 = run_job("echo", guests.words([2] + payload))
+    assert st1["status"] == "SUCCEEDED", st1
+    app = ctx.store.get("receipts/stark", job1)
+    app_digest = claims.digest_bytes(app.root.claim.digest())
+
+    # the fill: app journal must start with word 7 (prefix predicate)
+    fills = [(_req(Predicate(PredicateType.PREFIX_MATCH,
+                             guests.words([7]))), b"",
+              _Fill(app_digest, app.journal))]
+    job2, st2 = run_job("assessor", assessor_guest_input(fills))
+    assert st2["status"] == "SUCCEEDED", st2
+    asess = ctx.store.get("receipts/stark", job2)
+    assert succinct.verify_session(asess, ctx.succinct)
+    c = asess.root.claim
+    assert c.post_assumptions == claims.ZERO_CHAIN  # discharged
+    jw = [int.from_bytes(asess.journal[i:i + 4], "little")
+          for i in range(0, len(asess.journal), 4)]
+    assert jw[0] == 1 and jw[9] == 1  # one fill, prefix kind
+
+    # a wrong predicate faults the assessor execution -> job FAILED
+    bad = [(_req(Predicate(PredicateType.PREFIX_MATCH,
+                           guests.words([8]))), b"",
+            _Fill(app_digest, app.journal))]
+    job3, st3 = run_job("assessor", assessor_guest_input(bad), timeout=30)
+    assert st3["status"] == "FAILED", st3
