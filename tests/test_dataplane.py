@@ -147,3 +147,28 @@ def test_two_host_shared_job():
         assert st["stats"]["total_cycles"] > 0
     finally:
         srv.shutdown()
+
+
+def test_sqlite_server_restart_durability(tmp_path):
+    """The durability boundary: a sqlite-backed server restarted on the
+    same path serves the same jobs/tasks (Postgres-gen analogue); the
+    client's transparent reconnect resumes against the new server."""
+    db_path = str(tmp_path / "taskdb.sqlite")
+    srv = DataPlaneServer(port=0, sqlite_path=db_path).start()
+    addr = srv.addr
+    db = RemoteBackend(addr)
+    job = db.create_job("exec", {"k": 1}, user="u")
+    init = db.request_work("exec")
+    db.create_task(job, "t", "exec", {}, [])
+    db.update_task_done(job, init.task_id, {})
+    srv.shutdown()
+    # restart on the SAME port so the existing client can reconnect
+    srv2 = DataPlaneServer(host=addr[0], port=addr[1],
+                           sqlite_path=db_path).start()
+    try:
+        t = db.request_work("exec", timeout=2.0)  # same client object
+        assert t is not None and t.task_id == "t"
+        db.update_task_done(job, "t", {})
+        assert db.job_state(job)["state"].value == "done"
+    finally:
+        srv2.shutdown()
