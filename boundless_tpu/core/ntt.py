@@ -23,12 +23,17 @@ embedded as constants into the jitted caller.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import field as F
+
+# Radix-4 stage fusion (bit-identical to radix-2 pairs; fewer HBM
+# round-trips). BT_NTT_RADIX4=0 falls back to pure radix-2 — perf A/B.
+_RADIX4 = os.environ.get("BT_NTT_RADIX4", "1") == "1"
 
 INV_RATE = 4  # blowup factor (reference: risc0 INV_RATE = 4)
 
@@ -71,7 +76,7 @@ def ntt(x, forward: bool = True):
     # View as (L, m, batch...): L sub-transforms of length m.
     y = x.reshape((n, 1) + batch_shape)
     t = 0
-    while t + 1 < logn:
+    while t + 1 < logn and _RADIX4:
         q = y.shape[0] // 4
         m = y.shape[1]
         A, B, C, D = y[:q], y[q : 2 * q], y[2 * q : 3 * q], y[3 * q :]
@@ -86,12 +91,13 @@ def ntt(x, forward: bool = True):
         y = jnp.concatenate([F.add(s0, p0), F.add(s1, p1),
                              F.sub(s0, p0), F.sub(s1, p1)], axis=1)
         t += 2
-    if t < logn:
+    while t < logn:  # leftover / radix-2 fallback stages
         half = y.shape[0] // 2
         a = y[:half]
         b = y[half:]
         wb = F.mul(b, tw[t])
         y = jnp.concatenate([F.add(a, wb), F.sub(a, wb)], axis=1)
+        t += 1
     return y.reshape((n,) + batch_shape)
 
 

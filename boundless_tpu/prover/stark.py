@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -232,8 +233,9 @@ def _combine_pointwise(cons, sizes, apows, keep=None):
 # constraint pass keeps the traced graph small (tests/dryrun compile
 # fast); at or above it, low-degree constraint families are evaluated on
 # the N / 2N subgrids (docs/ROOFLINE.md — constraint eval is the top
-# prover cost and 75% of lanes are degree <= 2).
-SPLIT_MIN_ROWS = 4096
+# prover cost and 75% of lanes are degree <= 2). BT_SPLIT_MIN_ROWS
+# overrides (set very large to disable the split — perf A/B lever).
+SPLIT_MIN_ROWS = int(os.environ.get("BT_SPLIT_MIN_ROWS", "4096"))
 
 
 def _item_degrees(air, pub):
