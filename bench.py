@@ -88,12 +88,14 @@ def pipeline_main():
     jax.block_until_ready(sr0.proof.data_root)
     pre0 = {int(t): tuple(v)
             for t, v in meta[res.segments[0].index].items()}
-    r0 = system.lift(sr0, pre0, pre_mem=res.segments[0].pre_mem)
+    r0 = system.lift(sr0, pre0, pre_mem=res.segments[0].pre_mem,
+                     seg_index=res.segments[0].index)
     jax.block_until_ready(r0.proof.data_root)
     j0 = system.join(r0, system.lift(
         prove.prove_segment(image, res.segments[1], ps=seg_ps),
         {int(t): tuple(v) for t, v in meta[res.segments[1].index].items()},
-        pre_mem=res.segments[1].pre_mem)) if len(res.segments) > 1 else None
+        pre_mem=res.segments[1].pre_mem,
+        seg_index=res.segments[1].index)) if len(res.segments) > 1 else None
     if j0 is not None:
         jax.block_until_ready(j0.proof.data_root)
 
@@ -110,7 +112,8 @@ def pipeline_main():
         t_prove += time.time() - t1
         t1 = time.time()
         pre = {int(t): tuple(v) for t, v in meta[seg.index].items()}
-        r = system.lift(sr, pre, pre_mem=seg.pre_mem)
+        r = system.lift(sr, pre, pre_mem=seg.pre_mem,
+                        seg_index=seg.index)
         jax.block_until_ready(r.proof.data_root)
         t_lift += time.time() - t1
         receipts.append(r)

@@ -171,6 +171,21 @@ class DataCols:
         self.m_s_bits = a.get(8)
         self.m_g = a.get()  # committed gate selS * (1 - o)
         self.m_g2 = a.get()  # committed gate selS * (1 - bzero)
+        # --- keccak-ecall burst (rv32im variant only; in-circuit coproc
+        # binding, reference executor.rs:281-292 Coprocessor callback) ---
+        # A KECCAK ecall occupies 50 trace rows ("burst"): row j reads
+        # in-state word j (mem2 port, phase 0; value in b_bits) and
+        # writes out-state word j (mem port, phase 1; value in a_bits) at
+        # word address a0/4 + j, and emits two PUBLIC cpio LogUp entries
+        # (seq = cp_seq, in word) / (seq = cp_seq + 1, out word). The
+        # lift program re-hashes the public cpio table into per-
+        # permutation claim digests and folds the claim's coproc chain —
+        # the guest's ecall chain is thereby IN-CIRCUIT end to end.
+        self.k_kec = a.get()      # keccak-ecall burst row flag (bool)
+        self.kec_cnt = a.get()    # burst row counter 0..49
+        self.kec_last = a.get()   # bool == (kec_cnt == 49) (forced)
+        self.kec_linv = a.get()   # inverse witness for (kec_cnt - 49)
+        self.cp_seq = a.get()     # session cpio ENTRY counter (2/row)
         # pad for tp-sharding divisibility (unconstrained zero cols)
         self.pad = a.get(584 - a.n)
         self.total = a.n
@@ -210,24 +225,30 @@ class AccumCols:
     #        value: loaded word / merged stored word)
     # mem2 = the extra old-word *read* (time 2*clk) that a sub-word store
     #        performs before its write — one instruction, two log rows
-    PORTS = ("fetch", "fetch_tbl", "mem", "mem2", "mem_sorted", "init",
-             "final", "commit", "read", "verify")
+    # cpio_in/cpio_out (rv32im variant only) = the keccak-burst public
+    #        word entries (in-state / out-state), bound to pub.cpio
+    BASE_PORTS = ("fetch", "fetch_tbl", "mem", "mem2", "mem_sorted",
+                  "init", "final", "commit", "read", "verify")
     SIGNS = {"fetch": +1, "fetch_tbl": -1, "mem": +1, "mem2": +1,
              "mem_sorted": -1, "init": +1, "final": +1, "commit": +1,
-             "read": +1, "verify": +1}
+             "read": +1, "verify": +1, "cpio_in": +1, "cpio_out": +1}
 
-    def __init__(self):
+    def __init__(self, kec: bool = True):
+        self.PORTS = self.BASE_PORTS + (("cpio_in", "cpio_out")
+                                        if kec else ())
         self.inv = {p: 4 * i for i, p in enumerate(self.PORTS)}
         self.running = 4 * len(self.PORTS)
-        self.total = 4 * len(self.PORTS) + 4  # 44; pad to 48 below
-        self.pad = 48 - self.total
-        self.total = 48
+        self.total = 4 * len(self.PORTS) + 4
+        pad_to = 56 if kec else 48
+        self.pad = pad_to - self.total
+        self.total = pad_to
 
 
 DC = DataCols()
 DC_I = DataCols(with_m=False)
 CC = CtrlCols()
 AC = AccumCols()
+AC_I = AccumCols(kec=False)
 
 
 def zk_rows(po2: int) -> int:
@@ -241,9 +262,17 @@ def zk_rows(po2: int) -> int:
     return min(128, (1 << po2) // 4)
 
 TAG = {"fetch": 1, "mem": 2, "init": 3, "commit": 4, "read": 5, "verify": 6,
-       "final": 7}
+       "final": 7, "cpio": 8}
 
 IO_MAX = 64  # public io rows (journal + input + assumption words) per segment
+# keccak-coprocessor public word budget (rv32im variant): each keccak
+# ecall publishes its 50 in-state + 50 out-state words as cpio entries
+# (seq, lo, hi, mask); the executor flushes a segment when a burst would
+# exceed the budget. CI-scale sizing — production raises CP_PERMS with
+# po2 (docs/PROTOCOL.md coproc section).
+KEC_WORDS = 50  # u32 words per keccak state (25 lanes x 2)
+CP_PERMS = 2    # permutations per segment (public budget)
+CP_IO = CP_PERMS * 2 * KEC_WORDS  # cpio entries (in + out words)
 # Paging port geometry (must match zkvm/paging.py): touched pages per
 # segment, 64 words each. Every touched word's first-access (pre) and
 # final (post) values are PUBLIC, bound to the sorted RAM log by the
@@ -271,16 +300,17 @@ class PublicValues:
     pre_regs: jnp.ndarray  # (64,)
     post_regs: jnp.ndarray  # (64,)
     halted: jnp.ndarray
-    pre_seqs: jnp.ndarray  # (3,)
-    post_seqs: jnp.ndarray  # (3,)
+    pre_seqs: jnp.ndarray  # (4,) commit, read, verify, cpio-entries
+    post_seqs: jnp.ndarray  # (4,)
     io: jnp.ndarray  # (IO_MAX, 5)
+    cpio: jnp.ndarray  # (CP_IO, 4) keccak word entries (seq, lo, hi, mask)
     mem: jnp.ndarray  # (MEM_PAGES, MEM_PAGE_ELEMS) paging-port pages
 
 
 jax.tree_util.register_dataclass(
     PublicValues,
     data_fields=["pre_pc", "post_pc", "pre_regs", "post_regs", "halted",
-                 "pre_seqs", "post_seqs", "io", "mem"],
+                 "pre_seqs", "post_seqs", "io", "cpio", "mem"],
     meta_fields=[])
 
 
@@ -302,16 +332,19 @@ def _pack(alg, gamma, dpows, tag: int, comps_group):
     return alg.esub(alg.bc(base, acc), acc)
 
 
-def _ports(alg, row, gamma, dpows):
+def _ports(alg, row, gamma, dpows, dc=DC):
     """(packs, sels) for every LogUp port, from a row accessor.
 
     `row` provides .data(i)/.ctrl(i)/.datab(idx)/.ctrlb(idx) (scalar and
     block access). Works pointwise over the LDE domain (BaseAlg), on the
-    raw trace (accum_trace), and at the DEEP point (ExtAlg).
+    raw trace (accum_trace), and at the DEEP point (ExtAlg). `dc` is the
+    variant's column layout; the rv32im variant adds the keccak-burst
+    cpio ports and burst-aware mem-port expressions.
     """
     m, add, sub = alg.mul, alg.add, alg.sub
     one = alg.one()
     d = row
+    kec = dc.with_m  # keccak burst machinery rides the rv32im variant
 
     sel_blk = d.datab(DC.sel)
     is_load = d.data(DC.sel.start + 5)
@@ -360,14 +393,30 @@ def _ports(alg, row, gamma, dpows):
     b_blk = d.datab(DC.b_bits)
     BL_, BH_ = alg.gweighted(b_blk, W_LO16), alg.gweighted(b_blk, W_HI16)
     AL_, AH_ = alg.gweighted(a_blk, W_LO16), alg.gweighted(a_blk, W_HI16)
-    mval = [add(m(is_load, BL_), m(is_store, AL_)),
-            add(m(is_load, BH_), m(is_store, AH_))]
-    # Time is 2*clk + phase (read=0, write=1): a sub-word store's
-    # old-word read strictly precedes its write in the sorted log.
-    t_main = add(add(clk, clk), is_store)
+    # keccak burst rows act like a one-word store with an extra old-word
+    # read (the sub-word-store shape): read in-word (b_bits) at phase 0
+    # via mem2, write out-word (a_bits) at phase 1 via mem, at word
+    # address a0/4 + kec_cnt (r_bits carry a0's 32-bit decomposition).
+    if kec:
+        k_kec = d.data(dc.k_kec)
+        kec_cnt = d.data(dc.kec_cnt)
+        cp_seq = d.data(dc.cp_seq)
+        addr_eff = add(addr_word, m(k_kec, kec_cnt))
+        mval = [add(add(m(is_load, BL_), m(is_store, AL_)), m(k_kec, AL_)),
+                add(add(m(is_load, BH_), m(is_store, AH_)), m(k_kec, AH_))]
+        t_main = add(add(add(clk, clk), is_store), k_kec)
+        is_write = add(is_store, k_kec)
+    else:
+        addr_eff = addr_word
+        mval = [add(m(is_load, BL_), m(is_store, AL_)),
+                add(m(is_load, BH_), m(is_store, AH_))]
+        # Time is 2*clk + phase (read=0, write=1): a sub-word store's
+        # old-word read strictly precedes its write in the sorted log.
+        t_main = add(add(clk, clk), is_store)
+        is_write = is_store
     t_read = add(clk, clk)
-    mem_comps = alg.stack([addr_word, t_main, mval[0], mval[1], is_store])
-    mem2_comps = alg.stack([addr_word, t_read, BL_, BH_, alg.zero()])
+    mem_comps = alg.stack([addr_eff, t_main, mval[0], mval[1], is_write])
+    mem2_comps = alg.stack([addr_eff, t_read, BL_, BH_, alg.zero()])
     f3b = [d.data(DC.f3.start + i) for i in range(8)]
     is_subw_store = m(is_store, add(f3b[0], f3b[1]))
     srt_comps = alg.stack([d.data(DC.s_addr), d.data(DC.s_clk),
@@ -398,8 +447,9 @@ def _ports(alg, row, gamma, dpows):
     sels = {
         "fetch": active,
         "fetch_tbl": d.data(DC.mult_fetch),
-        "mem": add(is_load, is_store),
-        "mem2": is_subw_store,
+        "mem": (add(add(is_load, is_store), k_kec) if kec
+                else add(is_load, is_store)),
+        "mem2": add(is_subw_store, k_kec) if kec else is_subw_store,
         "mem_sorted": d.data(DC.s_active),
         "init": m(d.data(DC.s_active), d.data(DC.s_new)),
         "final": d.data(DC.s_last),
@@ -407,6 +457,15 @@ def _ports(alg, row, gamma, dpows):
         "read": d.data(DC.k.start + 2),
         "verify": d.data(DC.k.start + 4),
     }
+    if kec:
+        cpio_in_comps = alg.stack([cp_seq, BL_, BH_])
+        cpio_out_comps = alg.stack([add(cp_seq, one), AL_, AH_])
+        packs["cpio_in"] = _pack(alg, gamma, dpows, TAG["cpio"],
+                                 cpio_in_comps)
+        packs["cpio_out"] = _pack(alg, gamma, dpows, TAG["cpio"],
+                                  cpio_out_comps)
+        sels["cpio_in"] = k_kec
+        sels["cpio_out"] = k_kec
     return packs, sels
 
 
@@ -421,6 +480,18 @@ def public_logup_sum(pub: PublicValues, gamma, delta):
     den = F.ext_sub(jnp.broadcast_to(gamma, acc.shape), acc)
     terms = F.ext_scale(F.ext_inv(den), mask)
     total = F.sum_mod(terms, axis=0)
+
+    # keccak cpio entries (tag constant; masks are zero for rv32i
+    # executions, contributing nothing — the formula is shared)
+    cseq, clo, chi, cmask = (pub.cpio[:, i] for i in range(4))
+    acc = F.ext_from_base(
+        jnp.full(cseq.shape, F.mont(TAG["cpio"]), jnp.uint32))
+    for j, x in enumerate((cseq, clo, chi)):
+        acc = F.ext_add(acc, F.ext_scale(
+            jnp.broadcast_to(dpows[j + 1], acc.shape), x))
+    den = F.ext_sub(jnp.broadcast_to(gamma, acc.shape), acc)
+    total = F.ext_add(total, F.sum_mod(
+        F.ext_scale(F.ext_inv(den), cmask), axis=0))
 
     # paging ports: every wmask'd word slot folds an init (pre value) and
     # a final (post value) term at addr = page_idx*64 + w. All values are
@@ -465,6 +536,13 @@ def _public_logup_sum_prog(alg, pub, gamma, delta):
         inv_w = p.inv(p.sub(gamma, acc))
         term = p.mul(mask, inv_w)
         total = term if total is None else p.add(total, term)
+    for row in getattr(pub, "cpio", []):
+        seq, lo, hi, mask = row
+        acc = p.addc(p.add(p.mul(dpows[1], seq),
+                           p.add(p.mul(dpows[2], lo),
+                                 p.mul(dpows[3], hi))),
+                     (TAG["cpio"], 0, 0, 0))
+        total = p.add(total, p.mul(mask, p.inv(p.sub(gamma, acc))))
     for page in pub.mem:
         # page: dict with page_idx wire and words[(wmask, pre_lo, pre_hi,
         # post_lo, post_hi)] wire tuples (succinct._WireRv32Pub)
@@ -552,7 +630,6 @@ class _KernelPub:
 
 class Rv32imAir(dsl.Air):
     ctrl_cols = CC.total
-    accum_cols = AC.total
     globals_count = 2  # gamma, delta
     max_degree = 5
     ctrl_dynamic = True  # ctrl trace (image table) is a prover input
@@ -560,6 +637,8 @@ class Rv32imAir(dsl.Air):
     def __init__(self, with_m: bool = True):
         self.with_m = with_m
         self.dc = DC if with_m else DC_I
+        self.ac = AC if with_m else AC_I
+        self.accum_cols = self.ac.total
         self.name = "rv32im" if with_m else "rv32i"
         self.data_cols = self.dc.total
 
@@ -592,29 +671,31 @@ class Rv32imAir(dsl.Air):
         s_pub = sm[8:12].reshape(4, 1, 1)
         pub = _KernelPub(
             pre_pc=sm[12], post_pc=sm[13], halted=sm[14],
-            pre_seqs=sm[15:18], post_seqs=sm[18:21],
-            pre_regs=sm[21:85], post_regs=sm[85:149])
+            pre_seqs=sm[15:19], post_seqs=sm[19:23],
+            pre_regs=sm[23:87], post_regs=sm[87:151])
         return globals_list, pub, s_pub
 
     def accum_trace(self, ctrl, data, globals_):
         gamma, delta = globals_[0], globals_[1]
         dpows = NTT.ext_powers(delta, NUM_DPOWS)
         n = data.shape[0]
+        ac = self.ac
         alg = dsl.BaseAlg()
-        packs, sels = _ports(alg, _TraceRows(ctrl, data), gamma, dpows)
-        out = jnp.zeros((n, AC.total), dtype=jnp.uint32)
+        packs, sels = _ports(alg, _TraceRows(ctrl, data), gamma, dpows,
+                             self.dc)
+        out = jnp.zeros((n, ac.total), dtype=jnp.uint32)
         total = jnp.zeros((n, 4), dtype=jnp.uint32)
-        # one batched inversion across all 9 ports (graph-size discipline)
+        # one batched inversion across all ports (graph-size discipline)
         stacked = jnp.stack([jnp.broadcast_to(packs[p], (n, 4))
-                             for p in AC.PORTS])
-        invs = F.ext_inv(stacked)  # (9, N, 4)
-        for i, port in enumerate(AC.PORTS):
+                             for p in ac.PORTS])
+        invs = F.ext_inv(stacked)  # (P, N, 4)
+        for i, port in enumerate(ac.PORTS):
             inv = F.ext_scale(invs[i], sels[port])
-            out = out.at[:, AC.inv[port] : AC.inv[port] + 4].set(inv)
+            out = out.at[:, ac.inv[port] : ac.inv[port] + 4].set(inv)
             total = F.ext_add(total,
-                              inv if AC.SIGNS[port] > 0 else F.ext_neg(inv))
+                              inv if ac.SIGNS[port] > 0 else F.ext_neg(inv))
         running = jax.lax.associative_scan(F.ext_add, total, axis=0)
-        out = out.at[:, AC.running : AC.running + 4].set(running)
+        out = out.at[:, ac.running : ac.running + 4].set(running)
         return out
 
     # All heavy constraint families below are *grouped*: one traced op per
@@ -697,6 +778,7 @@ class Rv32imAir(dsl.Air):
                      + [DC.is_m, DC.is_shift_col, DC.is_slt_col,
                         DC.is_logic_col]
                      + list(range(dc.q8.start, dc.q8.stop))
+                     + ([dc.k_kec, dc.kec_last] if self.with_m else [])
                      + (([DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero]
                          + list(range(DC.m_hi_bits.start,
                                       DC.m_hi_bits.stop))
@@ -723,7 +805,11 @@ class Rv32imAir(dsl.Air):
                          d.data(DC.sel.start + 6)])
         c.append(m(sh_users, sub(alg.gsum(sh_blk), one)))
         c.append(sub(alg.gsum(d.datab(DC.sel)), active))
-        c.append(sub(alg.gsum(d.datab(DC.k)), is_ecall))
+        if self.with_m:
+            k_kec = d.data(dc.k_kec)
+            c.append(sub(add(alg.gsum(d.datab(DC.k)), k_kec), is_ecall))
+        else:
+            c.append(sub(alg.gsum(d.datab(DC.k)), is_ecall))
 
         # ---- register reads; reg0 pinned ----
         def reg(kk, limb, rows=d):
@@ -1120,8 +1206,9 @@ class Rv32imAir(dsl.Air):
 
         # ---- address structure ----
         addr_users = dsum([is_jalr, is_load, is_store])
-        c.append(VecVal(gm(B(dsum([addr_users, is_jal, is_auipc])),
-                           gm(r_blk, alg.gconst(hi_mask)))))
+        hi_gate = dsum([addr_users, is_jal, is_auipc]
+                       + ([d.data(dc.k_kec)] if self.with_m else []))
+        c.append(VecVal(gm(B(hi_gate), gm(r_blk, alg.gconst(hi_mask)))))
         # alignment by access width (f3: 0=b 1=h 2=w 4=bu 5=hu):
         # jalr/word -> 4-aligned, half -> 2-aligned, byte -> free
         is_word = m(add(is_load, is_store), f3[2])
@@ -1199,13 +1286,22 @@ class Rv32imAir(dsl.Air):
         # ---- pc transition ----
         pc4 = add(pc, alg.const(4))
         pc_imm = add(pc, imm_field)
+        if self.with_m:
+            # keccak burst rows hold pc until the last burst row
+            ecall_pc = add(m(sub(is_ecall, d.data(dc.k_kec)), pc4),
+                           m(d.data(dc.k_kec),
+                             add(m(d.data(dc.kec_last), pc4),
+                                 m(sub(one, d.data(dc.kec_last)), pc))))
+        else:
+            ecall_pc = m(is_ecall, pc4)
         pc_next = dsum([
             m(is_jal, pc_imm),
             m(is_jalr, ADDR_BYTES),
             m(is_br, add(m(taken, pc_imm), m(sub(one, taken), pc4))),
-            m(dsum([is_lui, is_auipc, is_load, is_store, is_alui, is_alur,
-                    is_ecall]),
+            m(dsum([is_lui, is_auipc, is_load, is_store, is_alui,
+                    is_alur]),
               pc4),
+            ecall_pc,
         ])
         pc_n = nx.data(DC.pc)
         c.append_t(m(not_last, sub(pc_n, add(m(active, pc_next),
@@ -1231,8 +1327,40 @@ class Rv32imAir(dsl.Air):
 
         # ---- ecall kind binding (t0 = reg 5) ----
         kind_val = alg.gweighted(d.datab(DC.k), np.arange(5))
+        if self.with_m:
+            # KECCAK = 5: one-hot sum == is_ecall makes k_kec the only
+            # way to reach kind 5, so keccak ecall rows are FORCED into
+            # the burst machinery (and vice versa).
+            kind_val = add(kind_val, m(alg.const(5), d.data(dc.k_kec)))
         c.append(m(is_ecall, sub(reg(5, 0), kind_val)))
         c.append(m(is_ecall, reg(5, 1)))
+
+        if self.with_m:
+            # ---- keccak burst structure ----
+            kb = d.data(dc.k_kec)
+            cnt = d.data(dc.kec_cnt)
+            last = d.data(dc.kec_last)
+            linv = d.data(dc.kec_linv)
+            kb_n = nx.data(dc.k_kec)
+            cnt_n = nx.data(dc.kec_cnt)
+            # last == (cnt == 49), forced both ways by the iszero gadget
+            d49 = sub(cnt, alg.const(49))
+            c.append(m(kb, m(last, d49)))
+            c.append(m(kb, sub(add(last, m(d49, linv)), one)))
+            # mid-burst rows continue: next row is a burst row with
+            # cnt + 1; any fresh burst row starts at cnt == 0
+            mid = m(kb, sub(one, last))
+            c.append_t(m(not_last, m(mid, sub(kb_n, one))))
+            c.append_t(m(not_last,
+                         m(kb_n, sub(cnt_n, m(mid, add(cnt, one))))))
+            # a burst cannot straddle the segment boundary
+            c.append_t(m(is_last, mid))
+            # r_bits carry a0's full 32-bit decomposition (word-aligned,
+            # < 2^26 via the address-structure gate below)
+            c.append(m(kb, sub(reg(10, 0), RL)))
+            c.append(m(kb, sub(reg(10, 1), RH)))
+            c.append(m(kb, d.data(DC.r_bits.start)))
+            c.append(m(kb, d.data(DC.r_bits.start + 1)))
 
         # ---- seq counters / halt / active ----
         for seq_col, kk in ((DC.commit_seq, k_commit), (DC.read_seq, k_read),
@@ -1240,6 +1368,11 @@ class Rv32imAir(dsl.Air):
             c.append_t(m(not_last, sub(nx.data(seq_col),
                                        add(d.data(seq_col),
                                            m(active, kk)))))
+        if self.with_m:
+            # cpio entry counter: +2 per burst row (in + out words)
+            c.append_t(m(not_last, sub(nx.data(dc.cp_seq),
+                                       add(d.data(dc.cp_seq),
+                                           add(kb, kb)))))
         c.append_t(m(not_last, sub(nx.data(DC.halted),
                                    add(halted, m(active, k_halt)))))
         c.append(m(halted, active))
@@ -1296,24 +1429,25 @@ class Rv32imAir(dsl.Air):
         c.append_t(m(is_last, sub(s_last_c, s_active)))
 
         # ---- LogUp ports: inv * pack == sel ----
-        packs, sels = _ports(alg, d, gamma, dpows)
-        for port in AC.PORTS:
-            inv = alg.read_ext(now.accum, AC.inv[port])
+        ac = self.ac
+        packs, sels = _ports(alg, d, gamma, dpows, dc)
+        for port in ac.PORTS:
+            inv = alg.read_ext(now.accum, ac.inv[port])
             c.append(ExtVal(alg.esub(alg.emul(inv, packs[port]),
                                      alg.lift(sels[port]))))
 
         # ---- running sum transition + boundaries ----
         def signed_total(accum_accessor):
             acc = None
-            for port in AC.PORTS:
-                iv = alg.read_ext(accum_accessor, AC.inv[port])
-                if AC.SIGNS[port] < 0:
+            for port in ac.PORTS:
+                iv = alg.read_ext(accum_accessor, ac.inv[port])
+                if ac.SIGNS[port] < 0:
                     iv = alg.eneg(iv)
                 acc = iv if acc is None else alg.eadd(acc, iv)
             return acc
 
-        R_now = alg.read_ext(now.accum, AC.running)
-        R_nxt = alg.read_ext(nxt.accum, AC.running)
+        R_now = alg.read_ext(now.accum, ac.running)
+        R_nxt = alg.read_ext(nxt.accum, ac.running)
         t_now = signed_total(now.accum)
         t_next = signed_total(nxt.accum)
         c.append_t(ExtVal(alg.escale(
@@ -1343,9 +1477,12 @@ class Rv32imAir(dsl.Air):
         c.append_t(m(is_first, sub(pc, alg.pubval(pub.pre_pc))))
         c.append_t(m(is_last, sub(pc, alg.pubval(pub.post_pc))))
         c.append_t(m(is_last, sub(halted, alg.pubval(pub.halted))))
-        for i, (seq_col, kk) in enumerate(((DC.commit_seq, k_commit),
-                                           (DC.read_seq, k_read),
-                                           (DC.verify_seq, k_verify))):
+        seq_binds = [(DC.commit_seq, k_commit), (DC.read_seq, k_read),
+                     (DC.verify_seq, k_verify)]
+        if self.with_m:
+            kb_ = d.data(dc.k_kec)
+            seq_binds.append((dc.cp_seq, add(kb_, kb_)))
+        for i, (seq_col, kk) in enumerate(seq_binds):
             s_now = d.data(seq_col)
             c.append_t(m(is_first, sub(s_now, alg.pubval(pub.pre_seqs[i]))))
             c.append_t(m(is_last, sub(add(s_now, m(active, kk)),

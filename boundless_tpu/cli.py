@@ -93,8 +93,9 @@ def cmd_prover_audit_degrees(args):
 
     pub = R.PublicValues(
         pre_pc=rf(()), post_pc=rf(()), pre_regs=rf((64,)),
-        post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((3,)),
-        post_seqs=rf((3,)), io=rf((R.IO_MAX, 5)),
+        post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((4,)),
+        post_seqs=rf((4,)), io=rf((R.IO_MAX, 5)),
+        cpio=rf((R.CP_IO, 4)),
         mem=rf((R.MEM_PAGES, R.MEM_PAGE_ELEMS)))
     for air in (R.Rv32imAir(), R.Rv32imAir(False)):
         degs = DA.assert_degrees(air, pub, po2=args.po2)

@@ -79,14 +79,17 @@ class ClusterContext:
 
     def succinct_sys(self):
         """The recursion system, resolving the lazy "real" default
-        (program construction + control-id derivation happen once)."""
+        (program construction + control-id derivation happen once).
+        When a succinct coproc lattice is configured, its params link
+        into the main system so resolve_coproc joins the allowed set."""
         if self.succinct == "real":
             from ..recursion import succinct as S
 
             rec_po2 = 20 if self.ps.queries >= 50 else 17
+            cp = getattr(self.coproc_succinct, "params", None)
             self.succinct = S.get_system(S.SuccinctParams(
                 seg_po2=self.segment_po2, seg_ps=self.ps,
-                rec_po2=rec_po2, rec_ps=self.ps))
+                rec_po2=rec_po2, rec_ps=self.ps), cp)
         return self.succinct
 
 
@@ -281,8 +284,9 @@ class Agent:
         # (recursion/succinct.py; reference prove.rs:68-95 lift claims)
         if self.ctx.succinct_sys() is not None:
             pre_chains = _decode_chains(d["pre_chains"])
-            lifted = self.ctx.succinct_sys().lift(sr, pre_chains,
-                                            pre_mem=seg.pre_mem)
+            lifted = self.ctx.succinct_sys().lift(
+                sr, pre_chains, pre_mem=seg.pre_mem,
+                seg_index=int(d["segment"]))
             claim_hex = claims.digest_bytes(lifted.claim.digest()).hex()
         else:
             lifted = rec.lift(sr, ps=self.ctx.ps, pre_mem=seg.pre_mem)
@@ -408,6 +412,35 @@ class Agent:
                         raise RuntimeError(
                             "resolve: succinct coproc chain mismatch")
                     self.ctx.store.put("receipts/coproc_succ", job, us)
+                    # in-circuit discharge: resolve_coproc verifies the
+                    # union receipt inside the main lattice and resets
+                    # the claim's coproc chain (the host checks above
+                    # are a fast-fail; the math is the binding)
+                    ssys = self.ctx.succinct_sys()
+                    if (ssys is not None
+                            and hasattr(ssys, "resolve_coproc")
+                            and (getattr(ssys, "coproc_sys", True)
+                                 is not None)):
+                        root = ssys.resolve_coproc(root, us)
+            elif self.ctx.dev_mode and d.get("keccak_claims"):
+                # dev mode without a succinct coproc lattice: the v1
+                # union `u` was host-verified above; synthesize its span
+                # claim and discharge (claim math identical, no proof)
+                from ..recursion import claims as rclaims
+                from ..recursion import coproc_succinct as rcs
+
+                digests = [rclaims.digest_from_bytes(bytes.fromhex(h))
+                           for h in d["keccak_claims"]]
+                chain = rclaims.ZERO_CHAIN
+                for dg in digests:
+                    chain = rcs.chain_step(chain, dg)
+                span = rcs.CoprocClaim(
+                    circuit_id=(0,) * 8, pre_chain=rclaims.ZERO_CHAIN,
+                    post_chain=chain, pre_count=0,
+                    post_count=len(digests))
+                ssys = self.ctx.succinct_sys()
+                if ssys is not None and hasattr(ssys, "resolve_coproc"):
+                    root = ssys.resolve_coproc(root, _DevUnion(span))
         if self.ctx.succinct_sys() is not None:
             resolved = self._succinct_resolve(root, d)
             claim_hex = claims.digest_bytes(resolved.claim.digest()).hex()
@@ -511,14 +544,19 @@ def _fwd(d):
 def _segment_pre_chains(ex, result):
     """Per-segment pre-chains: {seg index: {tag: [8 ints]}} — prefix folds
     of the session's journal / input / verify word streams at each
-    segment's pre_seqs counters (JSON-safe for task definitions)."""
+    segment's pre_seqs counters, plus the keccak coproc chain (tag 8:
+    per-permutation digest folds at the segment's cpio counter). JSON-
+    safe for task definitions."""
     streams = {4: [int(w) for w in ex.journal_words],
                5: [int(w) for w in ex.input_words],
                6: [int(w) for w in ex.verify_words]}
     seq_key = {4: "commit", 5: "read", 6: "verify"}
+    perm_digests = [claims.digest_from_bytes(d) for d in ex.keccak_claims]
     out = {}
     chain = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
+    cp_chain = claims.ZERO_CHAIN
     pos = {t: 0 for t in claims.CHAIN_TAGS}
+    cp_pos = 0
     for seg in result.segments:
         for t in claims.CHAIN_TAGS:
             upto = int(seg.pre_seqs[seq_key[t]])
@@ -526,14 +564,28 @@ def _segment_pre_chains(ex, result):
                 chain[t] = claims.fold_words(
                     chain[t], streams[t][pos[t] : upto])
                 pos[t] = upto
-        out[seg.index] = {str(t): [int(x) for x in chain[t]]
-                          for t in claims.CHAIN_TAGS}
+        upto_p = int(seg.pre_seqs.get("cpio", 0)) // 100
+        while cp_pos < upto_p:
+            cp_chain = claims.coproc_fold_step(cp_chain,
+                                               perm_digests[cp_pos])
+            cp_pos += 1
+        enc = {str(t): [int(x) for x in chain[t]]
+               for t in claims.CHAIN_TAGS}
+        enc[str(claims.COPROC_TAG)] = [int(x) for x in cp_chain]
+        out[seg.index] = enc
     return out
 
 
 def _decode_chains(enc):
     """Inverse of the _segment_pre_chains per-segment encoding."""
     return {int(t): tuple(int(x) for x in v) for t, v in enc.items()}
+
+
+@dataclasses.dataclass
+class _DevUnion:
+    """Span-claim carrier for the dev-mode coproc discharge."""
+
+    claim: object
 
 
 def run_workers(ctx: ClusterContext, counts: dict, idle_timeout=None):

@@ -23,17 +23,12 @@ embedded as constants into the jitted caller.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import field as F
-
-# Radix-4 stage fusion (bit-identical to radix-2 pairs; fewer HBM
-# round-trips). BT_NTT_RADIX4=0 falls back to pure radix-2 — perf A/B.
-_RADIX4 = os.environ.get("BT_NTT_RADIX4", "1") == "1"
 
 INV_RATE = 4  # blowup factor (reference: risc0 INV_RATE = 4)
 
@@ -60,12 +55,12 @@ def _stage_twiddles(n: int, forward: bool):
 def ntt(x, forward: bool = True):
     """In-order NTT along axis 0. x: uint32 Montgomery, shape (N, ...).
 
-    Stockham stages are fused TWO at a time (a radix-4 step composed
-    exactly from the two radix-2 butterflies, so results stay
-    bit-identical): each fused step materializes ONE intermediate
-    instead of two, halving the HBM round-trips of this memory-bound
-    transform (docs/ROOFLINE.md: the NTT stages ran at 10-21% of peak
-    as pure radix-2 passes)."""
+    Pure radix-2 Stockham stages. A radix-4 two-stage fusion was tried
+    in round 4 (BT_NTT_RADIX4) and MEASURED SLOWER on the v5e (round-5
+    2x2 matrix: 0.1883 vs 0.2058 Mcycles/s at po2 17 / q100 — the fused
+    step's concatenate-of-four defeats XLA's in-place butterfly fusion
+    and the extra live intermediates raise HBM pressure), so the fused
+    path was deleted per the keep-the-winner rule."""
     n = x.shape[0]
     logn = n.bit_length() - 1
     assert 1 << logn == n, f"NTT size must be a power of two, got {n}"
@@ -75,29 +70,12 @@ def ntt(x, forward: bool = True):
           for t in tables]
     # View as (L, m, batch...): L sub-transforms of length m.
     y = x.reshape((n, 1) + batch_shape)
-    t = 0
-    while t + 1 < logn and _RADIX4:
-        q = y.shape[0] // 4
-        m = y.shape[1]
-        A, B, C, D = y[:q], y[q : 2 * q], y[2 * q : 3 * q], y[3 * q :]
-        wC = F.mul(C, tw[t])
-        wD = F.mul(D, tw[t])
-        s0 = F.add(A, wC)
-        s1 = F.sub(A, wC)
-        t0 = F.add(B, wD)
-        t1 = F.sub(B, wD)
-        p0 = F.mul(t0, tw[t + 1][:, :m])
-        p1 = F.mul(t1, tw[t + 1][:, m:])
-        y = jnp.concatenate([F.add(s0, p0), F.add(s1, p1),
-                             F.sub(s0, p0), F.sub(s1, p1)], axis=1)
-        t += 2
-    while t < logn:  # leftover / radix-2 fallback stages
+    for t in range(logn):
         half = y.shape[0] // 2
         a = y[:half]
         b = y[half:]
         wb = F.mul(b, tw[t])
         y = jnp.concatenate([F.add(a, wb), F.sub(a, wb)], axis=1)
-        t += 1
     return y.reshape((n,) + batch_shape)
 
 

@@ -280,6 +280,7 @@ extern "C" int bt_execute(
             mem.store_word(a0 + 8 * i, (uint32_t)st[i]);
             mem.store_word(a0 + 8 * i + 4, (uint32_t)(st[i] >> 32));
           }
+          cycles += 49;  // 50-row burst (air/rv32im.py keccak ecall)
         } else {
           return fail("unknown ecall");
         }

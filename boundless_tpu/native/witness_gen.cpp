@@ -29,6 +29,7 @@ struct Layout {
   int32_t m_hi_bits, q8, m_carry_bits;
   int32_t m_rem_bits, m_d_bits, m_ca0, m_ca1, m_cb, m_bzero, m_binv;
   int32_t m_s_bits, m_g, m_g2;
+  int32_t k_kec, kec_cnt, kec_last, kec_linv, cp_seq;
 };
 
 // keccak-f[1600] (mirrors executor.cpp; KECCAK ecall witness rows)
@@ -195,7 +196,8 @@ extern "C" int bt_trace_cycles(
     const uint32_t* img_addrs, const uint32_t* img_words, int n_img,
     uint32_t pre_pc, uint32_t* regs /*32 in-out*/, const uint32_t* mem_addrs,
     const uint32_t* mem_vals, int n_mem, const uint32_t* reads, int n_reads,
-    uint64_t* seqs /*3 in-out: commit, read, verify*/, int cycles, int n_rows,
+    uint64_t* seqs /*4 in-out: commit, read, verify, cpio*/, int cycles,
+    int n_rows,
     int data_cols, const int32_t* layout_arr, int64_t* data_out,
     int64_t* mem_ops_out /*(cap,4)*/, int64_t* io_rows_out /*(cap,4)*/,
     int32_t* counts /*2 out: n_mem_ops, n_io*/, uint32_t* post_pc,
@@ -214,7 +216,8 @@ extern "C" int bt_trace_cycles(
 
   auto row = [&](int clk) { return data_out + (int64_t)clk * data_cols; };
 
-  for (int clk = 0; clk < cycles; clk++) {
+  int clk = 0;
+  while (clk < cycles) {
     int64_t* r = row(clk);
     r[L.pc] = pc;
     for (int i = 0; i < 32; i++) {
@@ -226,6 +229,7 @@ extern "C" int bt_trace_cycles(
     r[L.commit_seq] = (int64_t)seqs[0];
     r[L.read_seq] = (int64_t)seqs[1];
     r[L.verify_seq] = (int64_t)seqs[2];
+    r[L.cp_seq] = (int64_t)seqs[3];
     if (halted) return fail(err, err_len, "cycle after halt"), 1;
 
     auto it = mem.find(pc & ~3u);
@@ -594,39 +598,80 @@ extern "C" int bt_trace_cycles(
       if (t0 > 5) return fail(err, err_len, "unknown ecall"), 1;
       if (t0 < 5) r[L.k + t0] = 1;
       uint32_t a0 = regs[10];
-      if (t0 == 5) {  // KECCAK coprocessor (dev/preflight witness only)
+      if (t0 == 5) {  // KECCAK coprocessor: 50-row burst (in-circuit
+        // ecall ABI — air/rv32im.py; row j reads in-word j / writes
+        // out-word j and publishes both as cpio entries)
+        if ((a0 & 3u) || a0 >= (1u << 26))
+          return fail(err, err_len, "keccak state unaligned/out of range"),
+                 1;
+        if (clk + 50 > cycles)
+          return fail(err, err_len, "keccak burst exceeds segment"), 1;
         uint64_t st[25];
-        auto push5 = [&](int64_t t, uint32_t wa, int isw,
-                         uint32_t val) -> bool {
-          if (n_ops >= n_rows) return false;
-          mem_ops_out[4 * n_ops] = t;
-          mem_ops_out[4 * n_ops + 1] = wa;
-          mem_ops_out[4 * n_ops + 2] = isw;
-          mem_ops_out[4 * n_ops + 3] = val;
-          n_ops++;
-          return true;
-        };
-        for (int i = 0; i < 25; i++) {
-          uint32_t alo = (a0 + 8 * i) & ~3u, ahi = (a0 + 8 * i + 4) & ~3u;
-          auto itlo = mem.find(alo);
-          auto ithi = mem.find(ahi);
-          uint32_t lo = itlo == mem.end() ? 0 : itlo->second;
-          uint32_t hi = ithi == mem.end() ? 0 : ithi->second;
-          if (!push5(2 * (int64_t)clk, alo >> 2, 0, lo) ||
-              !push5(2 * (int64_t)clk, ahi >> 2, 0, hi))
-            return fail(err, err_len, "mem op overflow"), 1;
-          st[i] = (uint64_t)lo | ((uint64_t)hi << 32);
+        uint32_t in_w[50], out_w[50];
+        for (int i = 0; i < 50; i++) {
+          auto mv = mem.find(a0 + 4 * i);
+          if (mv == mem.end())
+            return fail(err, err_len, "uninitialized read"), 1;
+          in_w[i] = mv->second;
         }
+        for (int i = 0; i < 25; i++)
+          st[i] = (uint64_t)in_w[2 * i] | ((uint64_t)in_w[2 * i + 1] << 32);
         keccakf(st);
         for (int i = 0; i < 25; i++) {
-          uint32_t alo = (a0 + 8 * i) & ~3u, ahi = (a0 + 8 * i + 4) & ~3u;
-          uint32_t lo = (uint32_t)st[i], hi = (uint32_t)(st[i] >> 32);
-          mem[alo] = lo;
-          mem[ahi] = hi;
-          if (!push5(2 * (int64_t)clk + 1, alo >> 2, 1, lo) ||
-              !push5(2 * (int64_t)clk + 1, ahi >> 2, 1, hi))
-            return fail(err, err_len, "mem op overflow"), 1;
+          out_w[2 * i] = (uint32_t)st[i];
+          out_w[2 * i + 1] = (uint32_t)(st[i] >> 32);
         }
+        uint64_t cp0 = seqs[3];
+        uint32_t w0 = a0 >> 2;
+        for (int j = 0; j < 50; j++) {
+          int64_t* rj = row(clk + j);
+          if (j) {
+            std::memcpy(rj, r, (size_t)data_cols * sizeof(int64_t));
+            rj[L.cp_seq] = (int64_t)(cp0 + 2 * j);
+          }
+          rj[L.k_kec] = 1;
+          rj[L.kec_cnt] = j;
+          rj[L.kec_last] = j == 49 ? 1 : 0;
+          rj[L.kec_linv] =
+              j == 49 ? 0
+                      : (int64_t)modpow((uint64_t)((int64_t)j - 49 +
+                                                   (int64_t)FP) % FP,
+                                        FP - 2, FP);
+          for (int i = 0; i < 32; i++) rj[L.r_bits + i] = (a0 >> i) & 1;
+          for (int i = 0; i < 32; i++)
+            rj[L.b_bits + i] = (in_w[j] >> i) & 1;
+          for (int i = 0; i < 32; i++)
+            rj[L.a_bits + i] = (out_w[j] >> i) & 1;
+          rj[L.sh_oh] = 1;
+          int64_t ck = clk + j;
+          if (n_ops + 2 > n_rows || n_io + 2 > n_rows)
+            return fail(err, err_len, "mem/io op overflow"), 1;
+          mem_ops_out[4 * n_ops] = 2 * ck;
+          mem_ops_out[4 * n_ops + 1] = w0 + j;
+          mem_ops_out[4 * n_ops + 2] = 0;
+          mem_ops_out[4 * n_ops + 3] = in_w[j];
+          n_ops++;
+          mem_ops_out[4 * n_ops] = 2 * ck + 1;
+          mem_ops_out[4 * n_ops + 1] = w0 + j;
+          mem_ops_out[4 * n_ops + 2] = 1;
+          mem_ops_out[4 * n_ops + 3] = out_w[j];
+          n_ops++;
+          io_rows_out[4 * n_io] = 8;  // TAG cpio (in word)
+          io_rows_out[4 * n_io + 1] = (int64_t)(cp0 + 2 * j);
+          io_rows_out[4 * n_io + 2] = in_w[j] & 0xFFFF;
+          io_rows_out[4 * n_io + 3] = in_w[j] >> 16;
+          n_io++;
+          io_rows_out[4 * n_io] = 8;  // TAG cpio (out word)
+          io_rows_out[4 * n_io + 1] = (int64_t)(cp0 + 2 * j + 1);
+          io_rows_out[4 * n_io + 2] = out_w[j] & 0xFFFF;
+          io_rows_out[4 * n_io + 3] = out_w[j] >> 16;
+          n_io++;
+          mem[a0 + 4 * j] = out_w[j];
+        }
+        seqs[3] = cp0 + 100;
+        pc = pc + 4;
+        clk += 50;
+        continue;
       }
       if (t0 == 0) {
         halted = true;
@@ -674,6 +719,7 @@ extern "C" int bt_trace_cycles(
                d.sel[7] || d.sel[8];
     if (wen && d.rd != 0) regs[d.rd] = rdv;
     pc = next_pc;
+    clk++;
   }
   counts[0] = n_ops;
   counts[1] = n_io;

@@ -233,8 +233,10 @@ def _combine_pointwise(cons, sizes, apows, keep=None):
 # constraint pass keeps the traced graph small (tests/dryrun compile
 # fast); at or above it, low-degree constraint families are evaluated on
 # the N / 2N subgrids (docs/ROOFLINE.md — constraint eval is the top
-# prover cost and 75% of lanes are degree <= 2). BT_SPLIT_MIN_ROWS
-# overrides (set very large to disable the split — perf A/B lever).
+# prover cost and 75% of lanes are degree <= 2). The split is REQUIRED
+# at production size: the round-5 A/B matrix showed the unsplit 4N pass
+# exceeds v5e HBM at po2 17 / q100 (XLA OOM, 25.1 G needed vs 15.75 G).
+# BT_SPLIT_MIN_ROWS overrides for small-scale experiments only.
 SPLIT_MIN_ROWS = int(os.environ.get("BT_SPLIT_MIN_ROWS", "4096"))
 
 

@@ -56,18 +56,21 @@ RV_AIR = rv32im.Rv32imAir()
 RV_AIR_I = rv32im.Rv32imAir(False)
 RV_AIRS = {"rv32im": RV_AIR, "rv32i": RV_AIR_I}
 IO = rv32im.IO_MAX
+CP_IO = rv32im.CP_IO
+CP_PERMS = rv32im.CP_PERMS
 MEM_PAGES = rv32im.MEM_PAGES
 PAGE_WORDS = rv32im.PAGE_WORDS
 MEM_PAGE_ELEMS = rv32im.MEM_PAGE_ELEMS
 PG_DEPTH = paging.DEPTH
 # Flat public-element count of an rv32im proof (jax.tree_util leaf order
 # of rv32im.PublicValues: pre_pc, post_pc, pre_regs, post_regs, halted,
-# pre_seqs, post_seqs, io, mem).
-RV_PUB_LEN = (2 + 64 + 64 + 1 + 3 + 3 + 5 * IO
+# pre_seqs, post_seqs, io, cpio, mem).
+RV_PUB_LEN = (2 + 64 + 64 + 1 + 4 + 4 + 5 * IO + 4 * CP_IO
               + MEM_PAGES * MEM_PAGE_ELEMS)
 _PRE_REGS0, _POST_REGS0 = 2, 66
-_HALTED, _PRE_SEQS0, _POST_SEQS0, _IO0 = 130, 131, 134, 137
-_MEM0 = _IO0 + 5 * IO
+_HALTED, _PRE_SEQS0, _POST_SEQS0, _IO0 = 130, 131, 135, 139
+_CPIO0 = _IO0 + 5 * IO
+_MEM0 = _CPIO0 + 4 * CP_IO
 
 # claim wire indices (claims.py layout)
 W_IMG = (0, 1)
@@ -76,8 +79,10 @@ W_PRE_REGS = slice(3, 19)
 W_POST_REGS = slice(19, 35)
 W_PRE_SEQS = 35
 W_POST_SEQS = 36
-W_CHAINS = {4: (37, 39), 5: (41, 43), 6: (45, 47)}  # tag -> (pre0, post0)
+W_CHAINS = {4: (37, 39), 5: (41, 43), 6: (45, 47),
+            8: (53, 55)}  # tag -> (pre0, post0); 8 = coproc chain
 W_PRE_MEM, W_POST_MEM = (49, 50), (51, 52)
+W_SEGS = 57       # [pre_segments, post_segments, 0, 0]
 
 
 def rv_pub_flat(pub: dict) -> List[int]:
@@ -89,6 +94,8 @@ def rv_pub_flat(pub: dict) -> List[int]:
     out += [int(x) for x in pub["pre_seqs"]]
     out += [int(x) for x in pub["post_seqs"]]
     out += [int(x) for x in np.asarray(pub["io"], dtype=np.int64).reshape(-1)]
+    out += [int(x) for x in
+            np.asarray(pub["cpio"], dtype=np.int64).reshape(-1)]
     out += [int(x) for x in np.asarray(pub["mem"], dtype=np.int64).reshape(-1)]
     assert len(out) == RV_PUB_LEN
     return out
@@ -120,10 +127,12 @@ class _WireRv32Pub:
         self.pre_regs = [sp[_PRE_REGS0 + i] for i in range(64)]
         self.post_regs = [sp[_POST_REGS0 + i] for i in range(64)]
         self.halted = sp[_HALTED]
-        self.pre_seqs = [sp[_PRE_SEQS0 + i] for i in range(3)]
-        self.post_seqs = [sp[_POST_SEQS0 + i] for i in range(3)]
+        self.pre_seqs = [sp[_PRE_SEQS0 + i] for i in range(4)]
+        self.post_seqs = [sp[_POST_SEQS0 + i] for i in range(4)]
         self.io = [[sp[_IO0 + 5 * r + j] for j in range(5)]
                    for r in range(IO)]
+        self.cpio = [[sp[_CPIO0 + 4 * r + j] for j in range(4)]
+                     for r in range(CP_IO)]
         self.mem = []
         for e in range(MEM_PAGES):
             base = _MEM0 + e * MEM_PAGE_ELEMS
@@ -214,6 +223,49 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem,
     for i, t in enumerate(claims.CHAIN_TAGS):
         p.assert_eq(exp_seq[t], pub.post_seqs[i])
 
+    # --- coproc chain: fold the public keccak cpio table in-circuit ---
+    # (rv32im variant only — the rv32i AIR has no cpio ports, so a
+    # nonzero cpio mask is unprovable there and the chain passes through)
+    pre_cp = (p.input(), p.input())
+    neg1_ = (P - 1, 0, 0, 0)
+    if variant == "rv32im":
+        cp_chain = pre_cp
+        exp_cp = pub.pre_seqs[3]
+        prev_pm = None
+        for perm in range(CP_PERMS):
+            rows = pub.cpio[100 * perm : 100 * perm + 100]
+            m0 = rows[0][3]
+            p.assert_zero(p.mul(m0, p.addc(m0, neg1_)))  # boolean
+            if prev_pm is not None:  # whole-perm prefix structure
+                p.assert_zero(p.mul(m0, p.addc(prev_pm, neg1_)))
+            prev_pm = m0
+            ins: List[int] = []
+            outs: List[int] = []
+            for e in range(100):
+                seq, lo, hi, mask = rows[e]
+                p.assert_eq(mask, m0)  # perms are atomic (burst rows)
+                p.assert_zero(p.mul(m0, p.sub(seq, exp_cp)))
+                exp_cp = p.add(exp_cp, m0)
+                (ins if e % 2 == 0 else outs).extend([lo, hi])
+            limbs = ins + outs  # keccak-circuit digest preimage order
+            packed = [_pack4(p, limbs[i : i + 4])
+                      for i in range(0, 200, 4)]
+            dd = p.hash_packed(packed, 200)
+            f = p.hash_packed([cp_chain[0], cp_chain[1], dd[0], dd[1]], 16)
+            cp_chain = _select2(p, m0, f, cp_chain)
+        p.assert_eq(exp_cp, pub.post_seqs[3])
+        seqs_pre_w = _pack4(p, pub.pre_seqs)
+        seqs_post_w = _pack4(p, pub.post_seqs)
+    else:
+        # claim cp-seq counter is witness, constant across the segment
+        cp_seq_w = p.input()
+        cp_chain = pre_cp
+        seqs_pre_w = _pack4(p, pub.pre_seqs[:3] + [cp_seq_w])
+        seqs_post_w = _pack4(p, pub.post_seqs[:3] + [cp_seq_w])
+    # PoVW work counter: post_segments = pre_segments + 1
+    pre_segs = p.input()
+    segs_w = _pack4(p, [pre_segs, p.addc(pre_segs, (1, 0, 0, 0))])
+
     # --- RAM continuity: derive post_mem_root in-circuit -------------
     # The segment AIR binds every touched word's first-access (pre) and
     # final (post) value into the public page table (init/final LogUp
@@ -272,12 +324,15 @@ def build_lift(seg_po2: int, seg_ps: stark.ProofSystem,
         cw.append(_pack4(p, pub.pre_regs[4 * i : 4 * i + 4]))
     for i in range(16):
         cw.append(_pack4(p, pub.post_regs[4 * i : 4 * i + 4]))
-    cw.append(_pack4(p, pub.pre_seqs))
-    cw.append(_pack4(p, pub.post_seqs))
+    cw.append(seqs_pre_w)
+    cw.append(seqs_post_w)
     for t in claims.CHAIN_TAGS:
         cw += [pre_chain[t][0], pre_chain[t][1], chain[t][0], chain[t][1]]
     # mem roots: pre witnessed (anchored at genesis), post DERIVED
     cw += [pre_root[0], pre_root[1], post_root[0], post_root[1]]
+    # coproc chain (pre witnessed, post derived from pub.cpio) + segments
+    cw += [pre_cp[0], pre_cp[1], cp_chain[0], cp_chain[1]]
+    cw.append(segs_w)
     assert len(cw) == claims.CLAIM_WIRES
 
     d0, d1 = p.hash_packed(cw, claims.CLAIM_ELEMS)
@@ -322,7 +377,8 @@ def lift_witness(seg_pub: dict, proof, seg_po2: int,
                  seg_ps: stark.ProofSystem,
                  pre_chains: Optional[dict] = None,
                  pre_mem: Optional[dict] = None,
-                 variant: str = "rv32im") -> List[tuple]:
+                 variant: str = "rv32im",
+                 seg_index: int = 0) -> List[tuple]:
     """Witness stream for the lift program."""
     if pre_chains is None:
         pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
@@ -330,6 +386,13 @@ def lift_witness(seg_pub: dict, proof, seg_po2: int,
                                    rv_pub_flat(seg_pub), seg_po2, seg_ps)
     for t in claims.CHAIN_TAGS:
         out += programs._pack4([int(x) for x in pre_chains[t]])
+    pre_cp = pre_chains.get(claims.COPROC_TAG, claims.ZERO_CHAIN)
+    out += programs._pack4([int(x) for x in pre_cp])
+    if variant != "rv32im":
+        # claim cp-seq counter (constant across an rv32i segment)
+        out.append((int(seg_pub["pre_seqs"][3])
+                    if len(seg_pub["pre_seqs"]) > 3 else 0, 0, 0, 0))
+    out.append((int(seg_index), 0, 0, 0))
     pre_root, _post_root, sib_paths = paging_walk(seg_pub, pre_mem or {})
     out += programs._pack4([int(x) for x in pre_root])
     for path in sib_paths:
@@ -416,12 +479,14 @@ def build_join(rec_po2: int, rec_ps: stark.ProofSystem) -> vm.Prog:
     for i in range(16):
         p.assert_eq(L[W_POST_REGS][i], R[W_PRE_REGS][i])
     p.assert_eq(L[W_POST_SEQS], R[W_PRE_SEQS])
-    for t in claims.CHAIN_TAGS:
+    for t in W_CHAINS:
         pre0, post0 = W_CHAINS[t]
         p.assert_eq(L[post0], R[pre0])
         p.assert_eq(L[post0 + 1], R[pre0 + 1])
     p.assert_eq(L[W_POST_MEM[0]], R[W_PRE_MEM[0]])
     p.assert_eq(L[W_POST_MEM[1]], R[W_PRE_MEM[1]])
+    # segments counter: L.post == R.pre
+    p.assert_eq(p.pick(L[W_SEGS], 1), p.pick(R[W_SEGS], 0))
 
     # joined claim
     J = list(L)
@@ -429,10 +494,11 @@ def build_join(rec_po2: int, rec_ps: stark.ProofSystem) -> vm.Prog:
                          p.pick(R[W_PC], 2)])
     J[W_POST_REGS] = R[W_POST_REGS]
     J[W_POST_SEQS] = R[W_POST_SEQS]
-    for t in claims.CHAIN_TAGS:
+    for t in W_CHAINS:
         _, post0 = W_CHAINS[t]
         J[post0], J[post0 + 1] = R[post0], R[post0 + 1]
     J[W_POST_MEM[0]], J[W_POST_MEM[1]] = R[W_POST_MEM[0]], R[W_POST_MEM[1]]
+    J[W_SEGS] = _pack4(p, [p.pick(L[W_SEGS], 0), p.pick(R[W_SEGS], 1)])
     _own_pub_pins(p, J)
     return p
 
@@ -481,6 +547,78 @@ def build_resolve(rec_po2: int, rec_ps: stark.ProofSystem) -> vm.Prog:
     return p
 
 
+def build_resolve_coproc(rec_po2: int, rec_ps: stark.ProofSystem,
+                         coproc_root, coproc_rec_po2: int,
+                         coproc_rec_ps: stark.ProofSystem,
+                         kec_circuit_id) -> vm.Prog:
+    """Discharge a claim's keccak ecall chain against a proven coproc
+    span — the in-circuit form of the reference's resolve-side union
+    check (`prover/crates/workflow/src/tasks/resolve.rs:85-100`).
+
+    Verifies the conditional child (own lattice) plus one coproc-lattice
+    receipt (lift_keccak/union at the coproc po2/ps, membership under
+    the coproc allowed root — a CONSTANT of this program, which also
+    pins the keccak circuit id), then enforces:
+      union.pre_chain  == claim.pre_coproc
+      union.post_chain == claim.post_coproc
+      100 * (union.post_count - union.pre_count) == cpio entry span
+    and emits the claim with post_coproc reset to pre_coproc (the
+    obligation is proven; finalize requires post == ZERO at genesis).
+
+    Witness order: conditional child (_child_witness), then the coproc
+    child (serialized proof + coproc allowed path + CoprocClaim wires).
+    """
+    from . import coproc_succinct as _cs
+
+    p = vm.Prog(f"resolve_coproc-p{rec_po2}q{rec_ps.queries}"
+                f"e{rec_ps.commit_expand}")
+    _, _, C = _verify_child(p, rec_po2, rec_ps)
+
+    def cconst(vals4):
+        return p.addc(p.const(0), tuple(int(x) % P for x in vals4))
+
+    v = programs.StarkVerifier(rair.AIR, coproc_rec_po2, coproc_rec_ps,
+                               pub_len=vm.PUB_VALS, prog=p,
+                               bind_pub_groups=False)
+    res = v.build()
+    pub_w = res.pub_wires
+    croot = [cconst(coproc_root[0:4]), cconst(coproc_root[4:8])]
+    p.assert_eq(pub_w[2], croot[0])
+    p.assert_eq(pub_w[3], croot[1])
+    p.assert_zero(pub_w[4])
+    p.assert_zero(pub_w[5])
+    cur = res.ctrl_root
+    for _ in range(claims.ALLOWED_DEPTH):
+        sib = (p.input(), p.input())
+        b = p.input_bit()
+        left = _select2(p, b, sib, cur)
+        right = _select2(p, b, cur, sib)
+        cur = programs.hash_pair(p, left, right)
+    p.assert_eq(cur[0], croot[0])
+    p.assert_eq(cur[1], croot[1])
+    U = [p.input() for _ in range(_cs.CP_CLAIM_WIRES)]
+    d0, d1 = p.hash_packed(U, _cs.CP_CLAIM_ELEMS)
+    p.assert_eq(d0, pub_w[0])
+    p.assert_eq(d1, pub_w[1])
+
+    cid = [cconst(kec_circuit_id[0:4]), cconst(kec_circuit_id[4:8])]
+    p.assert_eq(U[0], cid[0])
+    p.assert_eq(U[1], cid[1])
+    pre0, post0 = W_CHAINS[8]
+    p.assert_eq(U[2], C[pre0])
+    p.assert_eq(U[3], C[pre0 + 1])
+    p.assert_eq(U[4], C[post0])
+    p.assert_eq(U[5], C[post0 + 1])
+    perms = p.sub(p.pick(U[6], 1), p.pick(U[6], 0))
+    span = p.sub(p.pick(C[W_POST_SEQS], 3), p.pick(C[W_PRE_SEQS], 3))
+    p.assert_eq(p.mul(perms, p.const(100)), span)
+
+    Rv = list(C)
+    Rv[post0], Rv[post0 + 1] = C[pre0], C[pre0 + 1]
+    _own_pub_pins(p, Rv)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # The system: programs, control IDs, receipts
 # ---------------------------------------------------------------------------
@@ -522,9 +660,14 @@ class SuccinctSystem:
     Program construction and XLA compilation are cached per params (the
     same compiled RecursionAir prover serves lift/join/resolve — only the
     ROM differs, and it is a prover *argument*).
+
+    `coproc`: optional CoprocParams — when given, the keccak coproc
+    lattice is built and a fifth program (resolve_coproc) joins the
+    allowed set, discharging claim coproc chains against proven union
+    spans IN-CIRCUIT.
     """
 
-    def __init__(self, params: SuccinctParams):
+    def __init__(self, params: SuccinctParams, coproc=None):
         self.params = params
         n = 1 << params.rec_po2
         self.progs: Dict[str, vm.Prog] = {
@@ -533,6 +676,19 @@ class SuccinctSystem:
             "join": build_join(params.rec_po2, params.rec_ps),
             "resolve": build_resolve(params.rec_po2, params.rec_ps),
         }
+        self.coproc_sys = None
+        self.kinds = list(PROGRAM_KINDS)
+        if coproc is not None:
+            from ..zkvm import coproc as zco
+            from .coproc_succinct import get_system as cs_get
+
+            self.coproc_sys = cs_get(coproc)
+            self.progs["resolve_coproc"] = build_resolve_coproc(
+                params.rec_po2, params.rec_ps,
+                self.coproc_sys.allowed_root, coproc.rec_po2,
+                coproc.rec_ps,
+                zco.circuit_id(coproc.kec_po2, coproc.kec_ps))
+            self.kinds.append("resolve_coproc")
         for name, prog in self.progs.items():
             if len(prog.rows) >= n:
                 raise SuccinctError(
@@ -543,8 +699,8 @@ class SuccinctSystem:
         self.control_ids = {
             k: tuple(int(x) for x in F.from_mont(stark.control_root_of(
                 rair.AIR, params.rec_po2, self.roms[k], params.rec_ps)))
-            for k in PROGRAM_KINDS}
-        self.allowed_ids = [self.control_ids[k] for k in PROGRAM_KINDS]
+            for k in self.kinds}
+        self.allowed_ids = [self.control_ids[k] for k in self.kinds]
         self.allowed_root = claims.allowed_set_root(self.allowed_ids)
         # one compiled RecursionAir prover/verifier serves all programs
         self._prover = stark.make_prover(rair.AIR, params.rec_po2,
@@ -568,7 +724,8 @@ class SuccinctSystem:
                           pub_vals=pub_vals, po2=self.params.rec_po2)
 
     def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
-             pre_mem: Optional[dict] = None) -> RecReceipt:
+             pre_mem: Optional[dict] = None,
+             seg_index: int = 0) -> RecReceipt:
         """Segment receipt -> recursion receipt (reference prove.rs:95).
 
         RAM continuity: `pre_mem` is the segment's entry word store
@@ -576,22 +733,24 @@ class SuccinctSystem:
         its PageTree root (witnessed in-circuit, anchored at genesis);
         post_mem_root is DERIVED in-circuit from the proof-bound public
         page words — the lift is unsatisfiable for any other root.
+        `seg_index`: segments proven before this one (PoVW counter).
         """
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
         pre_root, post_root, _ = paging_walk(seg_receipt.pub, pre_mem or {})
         claim = claims.Claim.of_segment(
             seg_receipt.image_id, seg_receipt.pub, pre_chains,
-            pre_mem_root=pre_root, post_mem_root=post_root)
+            pre_mem_root=pre_root, post_mem_root=post_root,
+            seg_index=seg_index)
         variant = getattr(seg_receipt, "variant", "rv32im") or "rv32im"
         wit = lift_witness(seg_receipt.pub, seg_receipt.proof,
                            self.params.seg_po2, self.params.seg_ps,
-                           pre_chains, pre_mem or {}, variant)
+                           pre_chains, pre_mem or {}, variant, seg_index)
         return self._prove("lift" if variant == "rv32im" else "lift_i",
                            wit, claim)
 
     def _kind_index(self, kind: str) -> int:
-        return PROGRAM_KINDS.index(kind)
+        return self.kinds.index(kind)
 
     def join(self, left: RecReceipt, right: RecReceipt) -> RecReceipt:
         """Pairwise join (reference join.rs:53)."""
@@ -619,6 +778,20 @@ class SuccinctSystem:
         wit += programs._pack4([int(x) for x in prev_chain])
         return self._prove("resolve", wit, claim)
 
+    def resolve_coproc(self, conditional: RecReceipt,
+                       union_receipt) -> RecReceipt:
+        """Discharge the claim's keccak ecall chain against a proven
+        coproc-lattice span (reference resolve.rs union handling). The
+        union receipt is a CoprocRecReceipt from the coproc lattice."""
+        if self.coproc_sys is None:
+            raise SuccinctError("system built without coproc params")
+        claim = conditional.claim.discharge_coproc(union_receipt.claim)
+        wit = _child_witness(conditional,
+                             self._kind_index(conditional.kind),
+                             self.allowed_ids, self.params.rec_ps)
+        wit += self.coproc_sys._child_witness(union_receipt)
+        return self._prove("resolve_coproc", wit, claim)
+
     # -- verification ---------------------------------------------------
 
     def verify(self, r: RecReceipt) -> bool:
@@ -634,8 +807,8 @@ class SuccinctSystem:
 
 
 @functools.lru_cache(maxsize=4)
-def get_system(params: SuccinctParams) -> SuccinctSystem:
-    return SuccinctSystem(params)
+def get_system(params: SuccinctParams, coproc=None) -> SuccinctSystem:
+    return SuccinctSystem(params, coproc)
 
 
 class DevModeSystem:
@@ -661,13 +834,15 @@ class DevModeSystem:
                           pub_vals=self._pub_vals(claim), po2=0)
 
     def lift(self, seg_receipt, pre_chains: Optional[dict] = None,
-             pre_mem: Optional[dict] = None) -> RecReceipt:
+             pre_mem: Optional[dict] = None,
+             seg_index: int = 0) -> RecReceipt:
         if pre_chains is None:
             pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
         pre_root, post_root, _ = paging_walk(seg_receipt.pub, pre_mem or {})
         claim = claims.Claim.of_segment(
             seg_receipt.image_id, seg_receipt.pub, pre_chains,
-            pre_mem_root=pre_root, post_mem_root=post_root)
+            pre_mem_root=pre_root, post_mem_root=post_root,
+            seg_index=seg_index)
         return self._receipt("lift", claim)
 
     def join(self, left: RecReceipt, right: RecReceipt) -> RecReceipt:
@@ -680,6 +855,12 @@ class DevModeSystem:
             raise SuccinctError("assumption receipt itself unresolved")
         return self._receipt("resolve", conditional.claim.resolve(
             assumption.claim.digest(), prev_chain))
+
+    def resolve_coproc(self, conditional: RecReceipt,
+                       union_receipt) -> RecReceipt:
+        return self._receipt("resolve_coproc",
+                             conditional.claim.discharge_coproc(
+                                 union_receipt.claim))
 
     def verify(self, r: RecReceipt) -> bool:
         return (r.proof is None
@@ -735,6 +916,9 @@ def finalize_session(root: RecReceipt, journal_words: Sequence[int],
         raise SuccinctError("finalize: span does not start at genesis")
     if c.post_assumptions != claims.ZERO_CHAIN:
         raise SuccinctError("finalize: unresolved assumptions")
+    if tuple(c.post_coproc) != claims.ZERO_CHAIN:
+        raise SuccinctError("finalize: undischarged keccak coproc chain "
+                            "(resolve_coproc must run first)")
     words = [int(w) for w in journal_words]
     if claims.fold_words(claims.ZERO_CHAIN, words) != c.post_journal:
         raise SuccinctError("finalize: journal does not match claim chain")
@@ -764,6 +948,8 @@ def verify_session(s: SuccinctSessionReceipt, system: SuccinctSystem,
     if not c.halted or not c.is_genesis(s.entry_pc, anchor):
         return False
     if c.post_assumptions != claims.ZERO_CHAIN:
+        return False
+    if tuple(c.post_coproc) != claims.ZERO_CHAIN:
         return False
     if len(s.journal) % 4:
         return False

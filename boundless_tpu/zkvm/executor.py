@@ -138,6 +138,9 @@ class Segment:
     # load/store in this segment, and the full word store at segment end
     touched_pages: list = None
     post_mem: dict = None
+    # keccak permutations executed in this segment (each is a 50-row
+    # burst with public cpio entries; forces the rv32im AIR variant)
+    kec_perms: int = 0
 
 
 @dataclasses.dataclass
@@ -229,6 +232,10 @@ class Executor:
         self.assumptions = []
         self.keccak_claims = []  # 32-byte claim digest per permutation
         self.keccak_states = []  # input lanes per permutation (prover feed)
+        self.cp_entries = 0  # session cpio ENTRY counter (100 per perm)
+        self._seg_cycles = 0
+        self._seg_cp_entries = 0
+        self._ecall_cost = 1
         self.segment_po2 = segment_po2
         # Reserve the blinded zk tail (air/rv32im.zk_rows) plus a few
         # control rows: instruction rows AND the sorted memory log must
@@ -329,12 +336,16 @@ class Executor:
         pre_regs = self.regs.copy().astype(np.uint32)
         pre_mem = dict(self.mem)
         pre_seqs = dict(commit=len(self.journal_words), read=self.input_pos,
-                        verify=len(self.verify_words))
+                        verify=len(self.verify_words),
+                        cpio=self.cp_entries)
+        pre_perms = len(self.keccak_claims)
         reads = []
         cycles = 0
         self.touched_words = set()
         self.touched_pages = set()
         self.mem_op_count = 0
+        self._seg_cycles = 0
+        self._seg_cp_entries = 0
         # A segment may touch at most MEM_PAGES 64-word pages (the paging
         # port's public budget, air/rv32im.py): an access that would
         # exceed the budget raises _PageBudgetStop before mutating state,
@@ -343,10 +354,11 @@ class Executor:
         # cycles per segment).
         while cycles < self.segment_limit and self.exit_code is None:
             try:
-                self.step(reads)
+                cost = self.step(reads)
             except _PageBudgetStop:
                 break
-            cycles += 1
+            cycles += cost
+            self._seg_cycles = cycles
         if cycles == 0:
             raise GuestFault("instruction exceeds the segment page budget")
         touched_pages = sorted(self.touched_pages)
@@ -356,10 +368,13 @@ class Executor:
                        is_final=self.exit_code is not None,
                        image_id=self.image.image_id(),
                        touched_pages=touched_pages,
-                       post_mem=dict(self.mem))
+                       post_mem=dict(self.mem),
+                       kec_perms=len(self.keccak_claims) - pre_perms)
 
     def step(self, reads_log=None):
-        """Execute one instruction."""
+        """Execute one instruction. Returns its cycle cost (1, or 50 for
+        a keccak-coprocessor burst — air/rv32im.py)."""
+        self._ecall_cost = 1
         word = self._load_word(self.pc)
         if self.pc & 3:
             raise GuestFault(f"misaligned pc {self.pc:#x}")
@@ -416,6 +431,7 @@ class Executor:
         if val is not None and rd != 0:
             regs[rd] = np.uint64(val & M32)
         self.pc = next_pc
+        return self._ecall_cost
 
     def _alu(self, f3, a, b, f7, imm_mode):
         if f7 == 0b0000001 and not imm_mode:  # M extension
@@ -493,12 +509,26 @@ class Executor:
                                   for w in self.verify_words[-8:])
                 self.assumptions.append(digest)
         elif code == KECCAK:
-            # Reserve the whole 100-access budget up front: a mid-ecall
-            # budget stop would fire after some stores already mutated
-            # memory (loads precede stores, so the page budget is safe,
-            # but the op budget charges stores too).
+            # The burst occupies 50 trace rows and publishes 100 cpio
+            # entries (air/rv32im.py keccak-ecall burst). Reserve every
+            # budget up front: a mid-ecall stop would fire after some
+            # stores already mutated memory (loads precede stores, so
+            # the page budget is safe, but the op budget charges stores).
+            from ..air.rv32im import CP_IO, KEC_WORDS
+
             if self.mem_op_count + 200 > self.mem_op_budget:
                 raise _PageBudgetStop()
+            if self._seg_cycles + KEC_WORDS > self.segment_limit:
+                if self._seg_cycles == 0:
+                    raise GuestFault(
+                        "keccak burst does not fit in one segment "
+                        "(segment_po2 too small)")
+                raise _PageBudgetStop()
+            if self._seg_cp_entries + 2 * KEC_WORDS > CP_IO:
+                raise _PageBudgetStop()
+            self._seg_cp_entries += 2 * KEC_WORDS
+            self.cp_entries += 2 * KEC_WORDS
+            self._ecall_cost = KEC_WORDS
             lanes = []
             for i in range(25):
                 lo = self.load(a0 + 8 * i, 4, False)

@@ -44,7 +44,15 @@ def image_uses_m(image) -> bool:
     return any(decode_row(a, w)[-1] for a, w in image.words.items())
 
 
-def air_variant_of(image) -> str:
+def air_variant_of(image, seg: Optional[Segment] = None) -> str:
+    '''AIR variant for a program (and, when given, a specific segment).
+
+    The keccak-ecall burst machinery lives only in the rv32im variant
+    (air/rv32im.py), so segments containing keccak permutations must be
+    proven under it; keccak-free segments of the same session may use
+    the thin rv32i variant (both lift programs share the allowed set).'''
+    if seg is not None and getattr(seg, 'kec_perms', 0):
+        return 'rv32im'
     return 'rv32im' if image_uses_m(image) else 'rv32i'
 
 
@@ -135,7 +143,7 @@ def prove_segment(image: MemoryImage, seg: Segment,
     image table; one table serves every segment — data-memory continuity
     rides the paging-port publics + PageTree roots, see mem_root).
     """
-    variant = air_variant_of(image)
+    variant = air_variant_of(image, seg)
     w = _gen_witness(image, seg)
     data = F.fp(witness.data_for_variant(w.data, variant))
     ctrl, image_id = _image_ctrl(image, seg.po2, ps)
@@ -153,7 +161,7 @@ def dev_receipt(image: MemoryImage, seg: Segment,
     w = _gen_witness(image, seg)
     _, image_id = _image_ctrl(image, seg.po2, ps)
     return SegmentReceipt(proof=None, pub=w.pub, image_id=image_id,
-                          po2=seg.po2, variant=air_variant_of(image))
+                          po2=seg.po2, variant=air_variant_of(image, seg))
 
 
 def verify_segment(receipt: SegmentReceipt,

@@ -19,8 +19,8 @@ import os
 import numpy as np
 
 from ..air import rv32im
-from ..air.rv32im import (DC, CC, TAG, IO_MAX, MEM_PAGES, PAGE_WORDS,
-                          MEM_PAGE_ELEMS, PublicValues)
+from ..air.rv32im import (DC, CC, TAG, IO_MAX, CP_IO, KEC_WORDS, MEM_PAGES,
+                          PAGE_WORDS, MEM_PAGE_ELEMS, PublicValues)
 from ..core import field as F
 from . import isa
 from .executor import Segment, MemoryImage, GuestFault, M32
@@ -151,6 +151,12 @@ def _bits(v, n=32):
     return [(v >> i) & 1 for i in range(n)]
 
 
+# kec_linv witness table: inverse of (j - 49) mod P for burst rows j<49
+# (the iszero gadget forcing kec_last == (kec_cnt == 49)).
+_KEC_LINV = [pow((j - (KEC_WORDS - 1)) % F.P, F.P - 2, F.P)
+             for j in range(KEC_WORDS - 1)] + [0]
+
+
 def data_for_variant(data, variant: str):
     """Full-layout (N, 576) witness -> the variant's committed columns.
 
@@ -182,15 +188,17 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
     reads = list(seg.reads)
     # session-wide sequence numbers resume from the claim
     seqs = dict(seg.pre_seqs)
-    pre_seqs = [seqs["commit"], seqs["read"], seqs["verify"]]
+    seqs.setdefault("cpio", 0)
+    pre_seqs = [seqs["commit"], seqs["read"], seqs["verify"], seqs["cpio"]]
     pre_regs_limbs = _reg_limbs(regs)
     pre_pc = pc
 
     mem_ops = []  # (clk, word_addr, is_write, value)
-    io_rows = []  # (tag, seq, lo, hi)
+    io_rows = []  # (tag, seq, lo, hi); tag 8 rows land in pub.cpio
     halted = False
 
-    for clk in range(seg.cycles):
+    clk = 0
+    while clk < seg.cycles:
         row = data[clk]
         row[DC.pc] = pc
         row[DC.regs.start : DC.regs.stop] = _reg_limbs(regs)
@@ -199,6 +207,7 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         row[DC.commit_seq] = seqs["commit"]
         row[DC.read_seq] = seqs["read"]
         row[DC.verify_seq] = seqs["verify"]
+        row[DC.cp_seq] = seqs["cpio"]
         if halted:
             raise GuestFault("cycle after halt")
 
@@ -538,26 +547,62 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
             if t0 < 5:
                 row[DC.k.start + t0] = 1
             a0 = int(regs[10]) & M32
-            if t0 == 5:  # KECCAK coprocessor (dev/preflight witness only:
-                #            the in-circuit ecall ABI is staged —
-                #            docs/PROTOCOL.md; this row is unprovable)
+            if t0 == 5:  # KECCAK coprocessor: 50-row burst. Row j reads
+                # in-state word j (b_bits, mem2 port phase 0), writes
+                # out-state word j (a_bits, mem port phase 1) at word
+                # addr a0/4 + j, and publishes both words as cpio
+                # entries — the in-circuit ecall ABI (air/rv32im.py).
                 from .executor import keccak_f1600
 
-                lanes = []
-                for i in range(25):
-                    w_lo = mem.get((a0 + 8 * i) & ~3, 0)
-                    w_hi = mem.get((a0 + 8 * i + 4) & ~3, 0)
-                    mem_ops.append((2 * clk, (a0 + 8 * i) >> 2, 0, w_lo))
-                    mem_ops.append((2 * clk, (a0 + 8 * i + 4) >> 2, 0, w_hi))
-                    lanes.append(w_lo | (w_hi << 32))
+                if a0 & 3 or a0 >= (1 << 26):
+                    raise GuestFault("keccak state unaligned/out of range")
+                in_words = []
+                for i in range(KEC_WORDS):
+                    w = mem.get(a0 + 4 * i)
+                    if w is None:
+                        raise GuestFault(
+                            "uninitialized read (first access must be a "
+                            "write or an image word)")
+                    in_words.append(w)
+                lanes = [in_words[2 * i] | (in_words[2 * i + 1] << 32)
+                         for i in range(25)]
                 out = keccak_f1600(lanes)
-                for i, v in enumerate(out):
-                    lo, hi = v & M32, (v >> 32) & M32
-                    mem[(a0 + 8 * i) & ~3] = lo
-                    mem[(a0 + 8 * i + 4) & ~3] = hi
-                    mem_ops.append((2 * clk + 1, (a0 + 8 * i) >> 2, 1, lo))
-                    mem_ops.append((2 * clk + 1, (a0 + 8 * i + 4) >> 2, 1,
-                                    hi))
+                out_words = []
+                for v in out:
+                    out_words += [v & M32, (v >> 32) & M32]
+                a0_bits = _bits(a0)
+                cp0 = seqs["cpio"]
+                w0 = a0 >> 2
+                for j in range(KEC_WORDS):
+                    rj = data[clk + j]
+                    if j:
+                        rj[:] = data[clk]
+                        rj[DC.cp_seq] = cp0 + 2 * j
+                    rj[DC.k_kec] = 1
+                    rj[DC.kec_cnt] = j
+                    rj[DC.kec_last] = 1 if j == KEC_WORDS - 1 else 0
+                    rj[DC.kec_linv] = _KEC_LINV[j]
+                    rj[DC.r_bits.start : DC.r_bits.stop] = a0_bits
+                    rj[DC.b_bits.start : DC.b_bits.stop] = \
+                        _bits(in_words[j])
+                    rj[DC.a_bits.start : DC.a_bits.stop] = \
+                        _bits(out_words[j])
+                    rj[DC.sh_oh.start] = 1
+                    ck = clk + j
+                    mem_ops.append((2 * ck, w0 + j, 0, in_words[j]))
+                    mem_ops.append((2 * ck + 1, w0 + j, 1, out_words[j]))
+                    io_rows.append((TAG["cpio"], cp0 + 2 * j,
+                                    in_words[j] & 0xFFFF,
+                                    in_words[j] >> 16))
+                    io_rows.append((TAG["cpio"], cp0 + 2 * j + 1,
+                                    out_words[j] & 0xFFFF,
+                                    out_words[j] >> 16))
+                    mem[a0 + 4 * j] = out_words[j]
+                seqs["cpio"] = cp0 + 2 * KEC_WORDS
+                # ctrl clk column ramps; fetch multiplicity counts all 50
+                pc = (pc + 4) & M32
+                clk += KEC_WORDS
+                continue
             if t0 == 0:  # HALT
                 halted = True
             elif t0 == 1:  # COMMIT
@@ -592,6 +637,7 @@ def trace_segment(image: MemoryImage, seg: Segment, po2: int) -> SegmentWitness:
         if wen and rd != 0:
             regs[rd] = rdv
         pc = next_pc
+        clk += 1
 
     return _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops,
                         io_rows, halted, pre_seqs, pre_regs_limbs, pre_pc,
@@ -614,6 +660,7 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
     pad[:, DC.commit_seq] = seqs["commit"]
     pad[:, DC.read_seq] = seqs["read"]
     pad[:, DC.verify_seq] = seqs["verify"]
+    pad[:, DC.cp_seq] = seqs.get("cpio", 0)
     pad[:, DC.rd_oh.start] = 1
     pad[:, DC.rs1_oh.start] = 1
     pad[:, DC.rs2_oh.start] = 1
@@ -700,11 +747,17 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
                 mem_pub[e, base + 3] = v & 0xFFFF
                 mem_pub[e, base + 4] = v >> 16
 
-    # public values
+    # public values (tag-8 rows are keccak cpio word entries)
+    cp_rows = [r for r in io_rows if r[0] == TAG["cpio"]]
+    io_rows = [r for r in io_rows if r[0] != TAG["cpio"]]
     io = np.zeros((IO_MAX, 5), dtype=np.int64)
     assert len(io_rows) <= IO_MAX, "too many io words in one segment"
     for i, (tag, seq, lo, hi) in enumerate(io_rows):
         io[i] = [tag, seq, lo, hi, 1]
+    cpio = np.zeros((CP_IO, 4), dtype=np.int64)
+    assert len(cp_rows) <= CP_IO, "too many keccak words in one segment"
+    for i, (_tag, seq, lo, hi) in enumerate(cp_rows):
+        cpio[i] = [seq, lo, hi, 1]
     pub = dict(
         pre_pc=np.int64(pre_pc),
         post_pc=np.int64(pc),
@@ -712,9 +765,10 @@ def _postprocess(image, seg, n, data, regs, pc, seqs, mem_ops, io_rows,
         post_regs=np.asarray(_reg_limbs(regs), dtype=np.int64),
         halted=np.int64(1 if halted else 0),
         pre_seqs=np.asarray(pre_seqs, dtype=np.int64),
-        post_seqs=np.asarray([seqs["commit"], seqs["read"], seqs["verify"]],
-                             dtype=np.int64),
+        post_seqs=np.asarray([seqs["commit"], seqs["read"], seqs["verify"],
+                              seqs.get("cpio", 0)], dtype=np.int64),
         io=io,
+        cpio=cpio,
         mem=mem_pub,
     )
 
@@ -766,6 +820,7 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
         DC.m_carry_bits.start, DC.m_rem_bits.start, DC.m_d_bits.start,
         DC.m_ca0, DC.m_ca1, DC.m_cb, DC.m_bzero, DC.m_binv,
         DC.m_s_bits.start, DC.m_g, DC.m_g2,
+        DC.k_kec, DC.kec_cnt, DC.kec_last, DC.kec_linv, DC.cp_seq,
     ], dtype=np.int32)
 
     img_items = sorted(image.words.items())
@@ -777,7 +832,8 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
     reads = np.array(list(seg.reads), dtype=np.uint32)
     regs = np.ascontiguousarray(seg.pre_regs, dtype=np.uint32).copy()
     seqs_arr = np.array([seg.pre_seqs["commit"], seg.pre_seqs["read"],
-                         seg.pre_seqs["verify"]], dtype=np.uint64)
+                         seg.pre_seqs["verify"],
+                         seg.pre_seqs.get("cpio", 0)], dtype=np.uint64)
     pre_seqs = [int(x) for x in seqs_arr]
     pre_regs_limbs = _reg_limbs(regs)
     mem_ops_out = np.zeros((n, 4), dtype=np.int64)
@@ -814,7 +870,7 @@ def trace_segment_native(image: MemoryImage, seg: Segment,
     mem_ops = [tuple(int(x) for x in row) for row in mem_ops_out[: counts[0]]]
     io_rows = [tuple(int(x) for x in row) for row in io_rows_out[: counts[1]]]
     seqs = dict(commit=int(seqs_arr[0]), read=int(seqs_arr[1]),
-                verify=int(seqs_arr[2]))
+                verify=int(seqs_arr[2]), cpio=int(seqs_arr[3]))
     return _postprocess(image, seg, n, data, regs, int(post_pc[0]), seqs,
                         mem_ops, io_rows, halted, pre_seqs, pre_regs_limbs,
                         seg.pre_pc, addr_to_trow, ctrl)
@@ -845,5 +901,6 @@ def to_public_values(pub: dict) -> PublicValues:
         pre_seqs=F.fp(pub["pre_seqs"]),
         post_seqs=F.fp(pub["post_seqs"]),
         io=F.fp(pub["io"]),
+        cpio=F.fp(pub["cpio"]),
         mem=F.fp(pub["mem"]),
     )

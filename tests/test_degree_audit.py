@@ -108,8 +108,9 @@ def test_rv32im_within_budget():
 
     pub = R.PublicValues(
         pre_pc=rf(()), post_pc=rf(()), pre_regs=rf((64,)),
-        post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((3,)),
-        post_seqs=rf((3,)), io=rf((R.IO_MAX, 5)))
+        post_regs=rf((64,)), halted=rf(()), pre_seqs=rf((4,)),
+        post_seqs=rf((4,)), io=rf((R.IO_MAX, 5)),
+        cpio=rf((R.CP_IO, 4)), mem=rf((R.MEM_PAGES, R.MEM_PAGE_ELEMS)))
     degs = DA.assert_degrees(R.Rv32imAir(), pub, po2=5, expand=16)
     n = 1 << 5
     worst = max(d.degree for d in degs)

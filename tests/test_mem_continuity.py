@@ -90,7 +90,7 @@ def _dev_lift_all(img, res, sys_):
     pre_chains = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
     for seg in res.segments:
         sr = prove.dev_receipt(img, seg, ps=prove.TEST_PS)
-        receipts.append(sys_.lift(sr, dict(pre_chains),
+        receipts.append(sys_.lift(sr, dict(pre_chains), seg_index=seg.index,
                                   pre_mem=seg.pre_mem))
         pre_chains = {4: receipts[-1].claim.post_journal,
                       5: receipts[-1].claim.post_input,
@@ -235,7 +235,8 @@ def test_heap_session_real_proofs_e2e():
     receipts = []
     for seg in res.segments:
         sr = prove.prove_segment(img, seg, ps=params.seg_ps)
-        r = sys_.lift(sr, dict(pre_chains), pre_mem=seg.pre_mem)
+        r = sys_.lift(sr, dict(pre_chains), pre_mem=seg.pre_mem,
+                      seg_index=seg.index)
         assert sys_.verify(r)
         receipts.append(r)
         pre_chains = {4: r.claim.post_journal, 5: r.claim.post_input,

@@ -47,7 +47,8 @@ def test_succinct_lift_join_session():
     for seg in res.segments:
         sr = prove.prove_segment(image, seg, ps=SEG_PS)
         pre = {int(t): tuple(v) for t, v in meta[seg.index].items()}
-        receipts.append(system.lift(sr, pre, pre_mem=seg.pre_mem))
+        receipts.append(system.lift(sr, pre, pre_mem=seg.pre_mem,
+                                    seg_index=seg.index))
         assert system.verify(receipts[-1])
 
     j01 = system.join(receipts[0], receipts[1])
