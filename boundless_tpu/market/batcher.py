@@ -81,19 +81,20 @@ def merkle_verify(root: bytes, leaf: bytes, index: int,
 
 @dataclasses.dataclass
 class AssessorReceipt:
-    """Attestation that every fill in the set satisfies its signed request
-    (reference AssessorJournal/AssessorReceipt)."""
+    """The assessor GUEST's attestation that every fill in the set
+    satisfies its signed request (reference AssessorJournal/
+    AssessorReceipt). `journal` is the guest's committed AssessorJournal
+    analogue — it binds each fill's app claim digest, predicate kind,
+    EIP-712 request digest and recovered signer address. `dev_mode=True`
+    means the guest was EXECUTED but not proven (reference
+    RISC0_DEV_MODE); the production path attaches the proven session
+    receipt (`session`), whose journal must equal `journal`."""
 
     root: bytes
     prover: str
     dev_mode: bool
-    signature: bytes  # assessor ECDSA attestation (guest proof: roadmap)
-
-    def signing_digest(self) -> bytes:
-        from . import crypto as C
-
-        return C.keccak256(b"assessor-journal:" + self.root
-                           + self.prover.encode())
+    journal: bytes = b""
+    session: object = None  # SuccinctSessionReceipt when proven
 
 
 def assessor_guest_input(fills: List[Tuple[ProofRequest, bytes,
@@ -138,60 +139,160 @@ def assessor_guest_input(fills: List[Tuple[ProofRequest, bytes,
     return words(out)
 
 
+def assessor_guest_input_v2(fills: List[Tuple[ProofRequest, bytes,
+                                              "Fulfillment"]]) -> bytes:
+    """Input stream for the PRODUCTION assessor guest
+    (zkvm/secp256k1_guest.assessor_ecdsa): per fill, the app claim
+    digest, the predicate (claim / prefix / keccak-digest), and the
+    request's ECDSA signature material — digest z, (r, s, v), and the
+    client address the recovery must land on. The guest verifies the
+    signature with in-guest secp256k1 (reference
+    assessor-guest/src/main.rs:58-66)."""
+    from ..zkvm import secp256k1_guest as sg
+    from ..zkvm.guests import words
+    from .types import PredicateType
+
+    def _w(b: bytes) -> List[int]:
+        b = b + b"\0" * (-len(b) % 4)
+        return [int.from_bytes(b[i : i + 4], "little")
+                for i in range(0, len(b), 4)]
+
+    out = [len(fills)]
+    for req, sig, fill in fills:
+        pred = req.requirements.predicate
+        digest_words = _w(fill.claim_digest)
+        assert len(digest_words) == 8
+        out += digest_words
+        if pred.kind == PredicateType.PREFIX_MATCH:
+            jw, ew = _w(fill.journal), _w(pred.data)
+            out += [1, len(jw), len(ew)]
+            for i, w in enumerate(jw):
+                out.append(w)
+                if i < len(ew):
+                    out.append(ew[i])
+        elif pred.kind == PredicateType.CLAIM_MATCH:
+            out.append(0)
+        else:  # DIGEST_MATCH: keccak-256(journal) == data, in-guest
+            if len(fill.journal) % 4:
+                # zkVM journals are word streams by construction; the
+                # guest hashes whole words
+                raise MarketError(
+                    "assessor guest: DIGEST_MATCH journal must be "
+                    "word-aligned")
+            jw = _w(fill.journal)
+            if len(jw) > sg.JBUF_WORDS:
+                raise MarketError("assessor guest: journal too long")
+            out += [2, len(jw)] + jw + _w(pred.data)
+        if len(sig) != 65:
+            raise MarketError("assessor guest: malformed signature")
+        z = int.from_bytes(req.signing_digest(), "big")
+        r = int.from_bytes(sig[:32], "big")
+        s = int.from_bytes(sig[32:64], "big")
+        addr = bytes.fromhex(req.id.client[2:])
+        out += sg.int_words(z) + sg.int_words(r) + sg.int_words(s)
+        out += [sig[64]]
+        out += _w(addr)
+    return words(out)
+
+
+def expected_assessor_journal(fills) -> bytes:
+    """The journal the assessor guest commits for these fills (host
+    mirror; receipt verification recomputes and compares)."""
+    from ..zkvm import secp256k1_guest as sg
+    from ..zkvm.guests import words
+    from .types import PREDICATE_TYPE_IDS, PredicateType
+
+    kind_of = {PredicateType.CLAIM_MATCH: 0, PredicateType.PREFIX_MATCH: 1,
+               PredicateType.DIGEST_MATCH: 2}
+
+    def _w(b: bytes) -> List[int]:
+        b = b + b"\0" * (-len(b) % 4)
+        return [int.from_bytes(b[i : i + 4], "little")
+                for i in range(0, len(b), 4)]
+
+    out = [len(fills)]
+    for req, _sig, fill in fills:
+        out += _w(fill.claim_digest)
+        out.append(kind_of[req.requirements.predicate.kind])
+        out += sg.int_words(int.from_bytes(req.signing_digest(), "big"))
+        out += _w(bytes.fromhex(req.id.client[2:]))
+    return words(out)
+
+
 class Assessor:
-    """Checks fills against signed requests and attests to the set root
+    """Runs the assessor GUEST over the fills and attests to the set root
     (reference `crates/assessor` + assessor-guest/src/main.rs:24-115).
 
-    Per-fill checks mirror the assessor guest: the request's EIP-712
-    ECDSA signature must recover to its client address, and the
-    requirement predicate must hold over (journal, claim digest). The
-    attestation over the Merkle root is the assessor wallet's ECDSA
-    signature — a host attestation with a real key, until the assessor
-    guest proof lands (tracked in docs/PARITY.md).
+    Every check lives in the guest (zkvm/secp256k1_guest.assessor_ecdsa):
+    in-guest secp256k1 recovery of the request's EIP-712 signature
+    against its client address, predicate enforcement (claim / prefix /
+    keccak digest), and VERIFY-binding of each fill's app claim digest.
+    A wrongly-signed fill makes the guest FAULT — no execution, no
+    journal, no proof exists (the reference guest's panic semantics).
+
+    `prover_fn(image, input_bytes) -> SuccinctSessionReceipt` is the
+    optional proving hook (cluster-backed); without it receipts are
+    dev-mode (executed natively, unproven). `session_verifier(session,
+    image_id)` verifies a proven session receipt at consumption time.
     """
 
-    def __init__(self, wallet=None):
-        from . import crypto as C
-
-        self.wallet = wallet or C.Wallet.from_seed(b"assessor-dev-key")
-        self.address = self.wallet.address
+    def __init__(self, prover_fn=None, session_verifier=None):
+        self.prover_fn = prover_fn
+        self.session_verifier = session_verifier
 
     def guest_session(self, fills: List[Tuple[ProofRequest, bytes,
                                               "Fulfillment"]]):
-        """(image, input) for proving the assessor AS A GUEST through the
-        cluster: the guest VERIFY-binds every fill's app claim digest (so
-        the fulfillment proof composes over the app proofs via the
-        resolve lattice) and enforces prefix/claim predicates in-guest —
-        a failed predicate faults the execution, the reference guest's
-        panic semantics (assessor-guest/src/main.rs:24-115). Signature
-        recovery stays in `assess` (host) until in-guest secp256k1 lands.
-        """
-        from ..zkvm import guests
+        """(image, input) of the production assessor guest session."""
+        from ..zkvm import secp256k1_guest as sg
 
-        return guests.assessor(), assessor_guest_input(fills)
+        return sg.assessor_ecdsa(), assessor_guest_input_v2(fills)
 
     def assess(self, fills: List[Tuple[ProofRequest, bytes, Fulfillment]],
                prover: str) -> AssessorReceipt:
-        leaves = []
-        for req, sig, fill in fills:
-            if not verify_signature(req, sig):
-                raise MarketError("assessor: bad request signature")
-            if not req.requirements.predicate.eval(fill.journal,
-                                                   fill.claim_digest):
-                raise MarketError("assessor: predicate failed")
-            leaves.append(fill_leaf(req.id.encoded(), fill.claim_digest,
-                                    fill.journal))
+        from ..zkvm.executor import GuestFault, fast_execute
+
+        image, input_bytes = self.guest_session(fills)
+        try:
+            _cycles, code, journal = fast_execute(image, input_bytes)
+        except GuestFault as e:
+            raise MarketError(f"assessor guest faulted: {e}") from e
+        if code != 0:
+            raise MarketError(f"assessor guest exit code {code}")
+        if journal != expected_assessor_journal(fills):
+            raise MarketError("assessor journal mismatch")
+        leaves = [fill_leaf(req.id.encoded(), fill.claim_digest,
+                            fill.journal) for req, _sig, fill in fills]
         root = merkle_root(leaves)
-        receipt = AssessorReceipt(root=root, prover=prover, dev_mode=True,
-                                  signature=b"")
-        return dataclasses.replace(
-            receipt, signature=self.wallet.sign(receipt.signing_digest()))
+        session = None
+        if self.prover_fn is not None:
+            session = self.prover_fn(image, input_bytes)
+            if bytes(session.journal) != journal:
+                raise MarketError("assessor session journal mismatch")
+        return AssessorReceipt(root=root, prover=prover,
+                               dev_mode=session is None, journal=journal,
+                               session=session)
 
-    def verify(self, receipt: AssessorReceipt) -> bool:
-        from . import crypto as C
+    def verify(self, receipt: AssessorReceipt, fills) -> bool:
+        """Receipt consumption check: the journal must re-derive from the
+        fills (binding requests, predicates, signers and app claims), and
+        a proven receipt's session must verify against the assessor
+        image."""
+        if receipt.journal != expected_assessor_journal(fills):
+            return False
+        leaves = [fill_leaf(req.id.encoded(), fill.claim_digest,
+                            fill.journal) for req, _sig, fill in fills]
+        if receipt.root != merkle_root(leaves):
+            return False
+        if receipt.dev_mode:
+            return True
+        if receipt.session is None or self.session_verifier is None:
+            return False
+        if bytes(receipt.session.journal) != receipt.journal:
+            return False
+        from ..zkvm import secp256k1_guest as sg
 
-        return C.recover_address(receipt.signing_digest(),
-                                 receipt.signature) == self.address
+        return bool(self.session_verifier(receipt.session,
+                                          sg.assessor_ecdsa()))
 
 
 @dataclasses.dataclass
@@ -238,13 +339,15 @@ class BatchProcessor:
         return batch
 
     def submission(self, batch: Batch):
-        """(root, assessor_receipt, [(fill, index, path)]) for the chain."""
+        """(root, assessor_receipt, [(req, sig, fill, index, path)]) for
+        the chain (requests ride along so the consumer can re-derive the
+        assessor journal)."""
         assert batch.closed
         leaves = [fill_leaf(req.id.encoded(), f.claim_digest, f.journal)
                   for req, _, f in batch.fills]
         return (batch.root, batch.assessor_receipt,
-                [(f, i, merkle_path(leaves, i))
-                 for i, (_, _, f) in enumerate(batch.fills)])
+                [(req, sig, f, i, merkle_path(leaves, i))
+                 for i, (req, sig, f) in enumerate(batch.fills)])
 
 
 def submit_root_and_fulfill(chain: MarketChain, assessor: Assessor,
@@ -252,10 +355,12 @@ def submit_root_and_fulfill(chain: MarketChain, assessor: Assessor,
                             entries) -> None:
     """Batch fulfillment: one assessor verification + per-fill Merkle
     inclusion (reference BoundlessMarket.submitRootAndFulfill :742-786)."""
-    if not assessor.verify(assessor_receipt) or assessor_receipt.root != root:
+    fill_tuples = [(req, sig, fill) for req, sig, fill, _i, _p in entries]
+    if assessor_receipt.root != root or \
+            not assessor.verify(assessor_receipt, fill_tuples):
         raise MarketError("bad assessor receipt")
     fills = []
-    for fill, index, path in entries:
+    for _req, _sig, fill, index, path in entries:
         leaf = fill_leaf(fill.request_id.encoded(), fill.claim_digest,
                          fill.journal)
         if not merkle_verify(root, leaf, index, path):

@@ -62,6 +62,15 @@ class BrokerConfig:
     # priority requestors skip the min-price gate (reference
     # broker-template.toml:75 priority lists + RequestorMonitor)
     priority_requestors: tuple = ()
+    # Batch aggregation: fulfill through the assessor-guest + set-builder
+    # path (submitRootAndFulfill; reference BatcherService -> Submitter)
+    # instead of per-fill seals. The assessor guest verifies each fill's
+    # request signature with in-guest secp256k1 — a wrongly-signed fill
+    # faults the guest and the whole batch is rejected because the proof
+    # does not exist (assessor-guest/src/main.rs:58-66 semantics).
+    batch_fulfill: bool = False
+    batch_size: int = 2
+    batch_linger_s: float = 0.25
 
 
 class OrderStatus:
@@ -278,6 +287,8 @@ class Broker:
                 order.error = f"prove: {e}"
 
     def _submitter(self):
+        if self.config.batch_fulfill:
+            return self._batch_submitter()
         while not self._stop.is_set():
             try:
                 rid, journal, seal, claim = self._submit_q.get(timeout=0.1)
@@ -293,6 +304,56 @@ class Broker:
             except Exception as e:  # noqa: BLE001
                 order.status = OrderStatus.FAILED
                 order.error = f"submit: {e}"
+
+    def _batch_submitter(self):
+        """Aggregation path: collect fills, run the assessor GUEST over
+        the batch (in-guest ECDSA + predicates), build the set root and
+        land one submitRootAndFulfill (reference batcher/service.rs ->
+        submitter/service.rs)."""
+        from ..batcher import Assessor, Batch, BatchProcessor, \
+            submit_root_and_fulfill
+
+        assessor = Assessor()
+        bp = BatchProcessor(assessor, self.address,
+                            max_batch=self.config.batch_size)
+        pending = []  # (rid, (req, sig, fill))
+        last = self.clock()
+        while not self._stop.is_set():
+            try:
+                rid, journal, seal, claim = self._submit_q.get(timeout=0.1)
+                order = self.orders[rid]
+                req = order.request
+                sig = self.chain.request_sigs.get(req.id.encoded(), b"")
+                fill = Fulfillment(request_id=req.id, journal=journal,
+                                   claim_digest=claim, seal=seal,
+                                   prover=self.address)
+                pending.append((rid, (req, sig, fill)))
+                last = self.clock()
+            except queue.Empty:
+                pass
+            flush = (len(pending) >= self.config.batch_size
+                     or (pending
+                         and self.clock() - last
+                         > self.config.batch_linger_s))
+            if not flush:
+                continue
+            batch = Batch()
+            rids = [rid for rid, _ in pending]
+            try:
+                for _rid, f3 in pending:
+                    batch.fills.append(f3)
+                batch = bp.close_batch(batch)
+                root, receipt, entries = bp.submission(batch)
+                submit_root_and_fulfill(self.chain, assessor, root,
+                                        receipt, entries)
+                for rid in rids:
+                    self.orders[rid].status = OrderStatus.FULFILLED
+                    self._persist(rid)
+            except Exception as e:  # noqa: BLE001
+                for rid in rids:
+                    self.orders[rid].status = OrderStatus.FAILED
+                    self.orders[rid].error = f"submit: {e}"
+            pending = []
 
     def _reaper(self):
         """Cancel expired committed orders (reference utils/reaper.rs)."""

@@ -33,15 +33,23 @@ class Predicate:
 
     def eval(self, journal: bytes, claim_digest: bytes) -> bool:
         if self.kind == PredicateType.DIGEST_MATCH:
-            return hashlib.sha256(journal).digest() == self.data
+            # keccak-256: the canonical journal digest of this market
+            # spec — chosen so the assessor GUEST can enforce it through
+            # the proven keccak coprocessor (zkvm/secp256k1_guest.kec256)
+            # instead of an in-guest sha256 (the reference's choice on
+            # risc0, where sha256 is the accelerated primitive).
+            from . import crypto as C
+
+            return C.keccak256(journal) == self.data
         if self.kind == PredicateType.PREFIX_MATCH:
             return journal.startswith(self.data)
         return claim_digest == self.data
 
     @staticmethod
     def digest_match(journal: bytes) -> "Predicate":
-        return Predicate(PredicateType.DIGEST_MATCH,
-                         hashlib.sha256(journal).digest())
+        from . import crypto as C
+
+        return Predicate(PredicateType.DIGEST_MATCH, C.keccak256(journal))
 
     @staticmethod
     def prefix_match(prefix: bytes) -> "Predicate":

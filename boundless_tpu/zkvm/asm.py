@@ -138,11 +138,18 @@ def assemble(source: str, base: int = 0x1000):
                                _imm(off, labels, pc)))
         elif mnem in ("beqz", "bnez"):
             f3 = isa.BRANCH_OPS["beq" if mnem == "beqz" else "bne"]
-            emit(isa.enc_b(isa.OP_BRANCH, f3, _reg(args[0]), 0,
-                           _imm(args[1], labels, pc) - pc))
+            off = _imm(args[1], labels, pc) - pc
+            if not -4096 <= off < 4096:
+                raise AsmError(f"branch target out of range ({off}) in "
+                               f"{line!r} — use a local `j` trampoline")
+            emit(isa.enc_b(isa.OP_BRANCH, f3, _reg(args[0]), 0, off))
         elif mnem in isa.BRANCH_OPS:
+            off = _imm(args[2], labels, pc) - pc
+            if not -4096 <= off < 4096:
+                raise AsmError(f"branch target out of range ({off}) in "
+                               f"{line!r} — use a local `j` trampoline")
             emit(isa.enc_b(isa.OP_BRANCH, isa.BRANCH_OPS[mnem], _reg(args[0]),
-                           _reg(args[1]), _imm(args[2], labels, pc) - pc))
+                           _reg(args[1]), off))
         elif mnem in isa.R_OPS:
             f3, f7 = isa.R_OPS[mnem]
             emit(isa.enc_r(isa.OP_REG, _reg(args[0]), f3, _reg(args[1]),

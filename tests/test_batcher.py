@@ -52,7 +52,7 @@ def test_batch_lifecycle_and_submit():
     batch = Batch()
     fills_meta = []
     for i in range(3):
-        journal = b"journal-%d" % i
+        journal = b"journal%d" % i
         req = _req(i, journal)
         chain.submit_request(req, sign_request(req, ALICE))
         fill = _fill(req, journal)
@@ -76,14 +76,14 @@ def test_batch_rejects_bad_inclusion():
     bp = BatchProcessor(assessor, "prover1", max_batch=2)
     batch = Batch()
     for i in range(2):
-        journal = b"j%d" % i
+        journal = b"jrnl%d\0\0\0" % i
         req = _req(i, journal)
         chain.submit_request(req, sign_request(req, ALICE))
         batch = bp.update_batch(batch, (req, sign_request(req, ALICE), _fill(req, journal)))
     root, receipt, entries = bp.submission(batch)
     # corrupt one path
-    fill, idx, path = entries[0]
-    entries[0] = (fill, idx, [b"\0" * 32] * len(path))
+    req, sig, fill, idx, path = entries[0]
+    entries[0] = (req, sig, fill, idx, [b"\0" * 32] * len(path))
     with pytest.raises(MarketError):
         submit_root_and_fulfill(chain, assessor, root, receipt, entries)
 

@@ -105,6 +105,60 @@ def test_broker_e2e_fulfills_order(world):
         broker.stop()
 
 
+def test_broker_batch_fulfill_assessor_guest(world):
+    """Aggregation path: two orders land through ONE submitRootAndFulfill
+    whose assessor receipt comes from the ECDSA-verifying assessor guest
+    (in-guest secp256k1; reference BatcherService -> Submitter)."""
+    chain, client, provider = world
+    broker = Broker(chain, MockProver(), "prover1",
+                    BrokerConfig(min_mcycle_price=0, batch_fulfill=True,
+                                 batch_size=2), storage=provider)
+    broker.start()
+    try:
+        rids = []
+        for payload in ([4, 5], [6, 7]):
+            req = client.build_request(
+                guests.echo(), guests.words([len(payload)] + payload))
+            rids.append(client.submit_onchain(req))
+        for rid, payload in zip(rids, ([4, 5], [6, 7])):
+            journal, _seal = client.wait_for_fulfillment(rid, timeout=30.0)
+            assert journal == guests.words(payload)
+            assert chain.request_status(rid) == "fulfilled"
+    finally:
+        broker.stop()
+
+
+def test_batch_fulfill_rejects_forged_signature(world):
+    """A fill whose request signature does not recover to the client
+    address makes the assessor GUEST fault — the batch cannot be
+    fulfilled because the proof does not exist (no host judgment
+    involved; reference assessor-guest/src/main.rs:58-66)."""
+    from boundless_tpu.market.batcher import Assessor
+    from boundless_tpu.market.types import Fulfillment
+
+    chain, client, provider = world
+    req = client.build_request(guests.echo(), guests.words([1, 42]))
+    rid = client.submit_onchain(req)
+    res = Executor(*_assets(provider, req)).run()
+    fill = Fulfillment(request_id=req.id, journal=res.journal,
+                       claim_digest=b"c" * 32, seal=None, prover="prover1")
+    mallory = Wallet.from_seed(b"mallory")
+    forged = sign_request(req, mallory)  # wrong key
+    with pytest.raises(MarketError):
+        Assessor().assess([(req, forged, fill)], "prover1")
+    # the honest signature passes
+    good = chain.request_sigs[rid]
+    receipt = Assessor().assess([(req, good, fill)], "prover1")
+    assert receipt.journal
+
+
+def _assets(provider, req):
+    from boundless_tpu.utils import serde
+
+    image = serde.load_image(provider.download(req.image_url))
+    return image, req.input_data
+
+
 def test_broker_skips_underpriced(world):
     chain, client, provider = world
     broker = Broker(chain, MockProver(), "prover1",
