@@ -61,11 +61,17 @@ def pipeline_main():
     seg_po2 = PO2
     rec_po2 = int(os.environ.get("BENCH_REC_PO2", "17"))
     rec_q = int(os.environ.get("BENCH_REC_QUERIES", "2"))
+    # Production sizing (docs/ROOFLINE.md): rec_po2 20, 50 queries at
+    # commit rate 1/4 (the reference's rate; ~100-bit conjectured) —
+    # BENCH_REC_PO2=20 BENCH_REC_QUERIES=50 BENCH_SEG_QUERIES=50
+    # BENCH_SEG_EXPAND=4 BENCH_REC_EXPAND=4 BENCH_FRI_MIN=256.
+    fri_min = int(os.environ.get("BENCH_FRI_MIN", "16"))
     seg_ps = stark.ProofSystem(queries=int(
-        os.environ.get("BENCH_SEG_QUERIES", "2")), fri_min_degree=16,
-        commit_expand=2)
-    rec_ps = stark.ProofSystem(queries=rec_q, fri_min_degree=16,
-                               commit_expand=2)
+        os.environ.get("BENCH_SEG_QUERIES", "2")), fri_min_degree=fri_min,
+        commit_expand=int(os.environ.get("BENCH_SEG_EXPAND", "2")))
+    rec_ps = stark.ProofSystem(queries=rec_q, fri_min_degree=fri_min,
+                               commit_expand=int(
+                                   os.environ.get("BENCH_REC_EXPAND", "2")))
     n_segs = int(os.environ.get("BENCH_SEGMENTS", "2"))
     image = guests.loop_guest()
     iters = (n_segs * (1 << seg_po2) - 60) // 2

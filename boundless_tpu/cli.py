@@ -108,6 +108,63 @@ def cmd_prover_audit_degrees(args):
             ok=True)))
 
 
+def cmd_prover_bootstrap_verifier(args):
+    """Generate the on-chain verifier artifacts (xtask bootstrap role:
+    reference `xtask/src/bootstrap_blake3_groth16.rs:43-46` regenerating
+    contracts/src/blake3-groth16/*.sol).
+
+    Builds the wrap circuit for the given recursion params, derives a
+    DETERMINISTIC dev CRS (--seed; a production deployment substitutes
+    the ceremony CRS via BT_GROTH16_CRS — same artifact shape), and
+    writes Groth16Verifier.sol with the verifying key + allowed-set
+    control root baked in. Runs on CPU; the wrap-circuit build is the
+    slow part (minutes at CI scale)."""
+    import json
+    import os
+    import random
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bt_jax_cache")
+    from .core import field as _field
+
+    _field.enable_u64()
+    from .core import poseidon_bn254 as P254
+    from .groth16 import evm, qap, r1cs
+    from .groth16 import circuit as C
+    from .prover import stark
+    from .recursion import air as rair
+    from .recursion import identity, succinct
+
+    ps = stark.ProofSystem(queries=args.queries, fri_min_degree=16,
+                           commit_expand=2)
+    params = succinct.SuccinctParams(seg_po2=args.seg_po2, seg_ps=ps,
+                                     rec_po2=args.rec_po2, rec_ps=ps)
+    system = succinct.get_system(params)
+    p254 = identity.get_p254(params)
+    bld = r1cs.Builder(concrete=False)
+    C.build_verifier(bld, rair.AIR, p254.po2, p254.ps254,
+                     p254.control_id, proof=None, pub_vals=None)
+    sys_ = bld.to_sparse()
+    rng = random.Random(args.seed)
+    _td, vk = qap.setup_trapdoor(sys_, rng=lambda n: rng.randrange(1, n))
+    root_felt = P254.pack_bb([int(x) for x in system.allowed_root])
+    src = evm.generate_verifier(vk, allowed_root_felt=int(root_felt))
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "Groth16Verifier.sol")
+    with open(path, "w") as f:
+        f.write(src)
+    meta = dict(seg_po2=args.seg_po2, rec_po2=args.rec_po2,
+                queries=args.queries, seed=args.seed,
+                n_rows=len(sys_.rows), n_vars=sys_.n_vars,
+                control_root_felt=str(int(root_felt)),
+                allowed_root=[int(x) for x in system.allowed_root])
+    with open(os.path.join(args.out, "bootstrap.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps(dict(wrote=path, **meta)))
+
+
 def cmd_cluster_serve(args):
     """Run an in-process cluster (API + workers) — reference compose.yml."""
     from .cluster.agent import ClusterContext, run_workers
@@ -318,6 +375,13 @@ def main(argv=None):
     ad = prover.add_parser("audit-degrees")
     ad.add_argument("--po2", type=int, default=5)
     ad.set_defaults(fn=cmd_prover_audit_degrees)
+    bv = prover.add_parser("bootstrap-verifier")
+    bv.add_argument("--out", default="contracts")
+    bv.add_argument("--seg-po2", type=int, default=6)
+    bv.add_argument("--rec-po2", type=int, default=17)
+    bv.add_argument("--queries", type=int, default=2)
+    bv.add_argument("--seed", type=int, default=0)
+    bv.set_defaults(fn=cmd_prover_bootstrap_verifier)
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="cmd",
                                                        required=True)

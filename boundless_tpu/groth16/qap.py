@@ -23,10 +23,31 @@ import secrets
 from typing import List, Optional, Sequence, Tuple
 
 from .bn254 import G1, R
-from .msm import msm_pippenger
+from .msm import msm_pippenger as _msm_host
 from . import pairing as PR
 from .protocol import Proof, ProvingKey, VerifyingKey
 from .r1cs import SparseR1CS
+
+
+def msm_pippenger(points, scalars):
+    """G1 MSM dispatch: DEVICE Pippenger (msm_tpu segmented-scan
+    buckets) on an accelerator backend, host Pippenger on CPU (tests) —
+    override with BT_MSM_DEVICE=0/1. The device path is the CUDA MSM's
+    role in the reference (`blake3_groth16/src/prove/cuda.rs:40`)."""
+    import os
+
+    flag = os.environ.get("BT_MSM_DEVICE")
+    if flag is None:
+        import jax
+
+        use_dev = jax.default_backend() not in ("cpu",)
+    else:
+        use_dev = flag == "1"
+    if use_dev and len(points) >= 64:
+        from . import msm_tpu
+
+        return msm_tpu.msm(points, scalars)
+    return _msm_host(points, scalars)
 
 TWO_ADICITY = 28
 # multiplicative generator of Fr* is 5 (standard for BN254 scalar field)

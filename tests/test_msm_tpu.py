@@ -49,3 +49,21 @@ def test_msm_tpu_matches_pippenger():
     # edge: zeros and infinity points
     got2 = msm_tpu.msm([points[0], G1.infinity()], [0, 12345])
     assert got2.is_infinity()
+
+
+@pytest.mark.slow
+def test_device_pippenger_matches_host():
+    """The bucketed device schedule (segmented-scan Pippenger) against
+    the host-exact reference, incl. zero scalars, duplicate digits and
+    infinity inputs."""
+    g = G1.generator()
+    n = 70
+    points = [g.mul(rng.randrange(1, 10**6)) for _ in range(n)]
+    scalars = [rng.randrange(0, R) for _ in range(n)]
+    scalars[3] = 0
+    scalars[11] = 1
+    scalars[12] = scalars[13] = 5  # duplicate small digits
+    points[20] = G1.infinity()
+    expect = host_msm.msm_pippenger(points, scalars)
+    got = msm_tpu.msm_pippenger(points, scalars)
+    assert got.eq(expect)
