@@ -42,6 +42,32 @@ class WorkLog:
         self.entries.append(WorkLogEntry(prover, self.current_epoch(),
                                          cycles, claim_digest))
 
+    def record_receipt(self, prover: str, session, system,
+                       seg_po2: int) -> int:
+        """Record work backed by a PROVEN session receipt (the reference
+        log-updater guest's role, `crates/povw/src/lib.rs:5-17`).
+
+        The cycle count is NOT an input: it is read from the verified
+        claim's segments counter (claim v3 wire 57 — every lift proves
+        post_segments = pre_segments + 1 in-circuit and joins chain it),
+        so work = post_segments << seg_po2 padded cycles is exactly what
+        the prover proved. A forged count would need a forged claim
+        digest, which `verify_session` rejects. Returns the credited
+        cycles."""
+        from ..recursion import claims as rclaims
+        from ..recursion import succinct as rsucc
+
+        if not rsucc.verify_session(session, system):
+            raise ValueError("povw: session receipt failed verification")
+        c = session.root.claim
+        segments = int(c.post_segments) - int(c.pre_segments)
+        if segments <= 0:
+            raise ValueError("povw: receipt proves no segments")
+        cycles = segments << seg_po2
+        digest = rclaims.digest_bytes(c.digest())
+        self.record(prover, cycles, digest)
+        return cycles
+
     def epoch_totals(self, epoch: int) -> Dict[str, int]:
         out: Dict[str, int] = {}
         for e in self.entries:

@@ -125,3 +125,54 @@ def test_povw_rewards_stake_cap():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pr.compute_epoch(0)
+
+
+def test_worklog_receipt_backed_cycles():
+    """Work entries backed by session receipts: the credited cycles come
+    from the VERIFIED claim's segments counter, not caller input; a
+    tampered counter changes the claim digest and verification fails
+    (reference log-updater guest role, crates/povw/src/lib.rs:5-17)."""
+    import dataclasses
+
+    from boundless_tpu.recursion import claims, succinct
+    from boundless_tpu.zkvm import guests, paging, prove
+    from boundless_tpu.zkvm.executor import Executor
+
+    sys_ = succinct.DevModeSystem()
+    image = guests.loop_guest()
+    po2 = 10
+    res = Executor(image, guests.words([300]), segment_po2=po2).run()
+    pre = {t: claims.ZERO_CHAIN for t in claims.CHAIN_TAGS}
+    recs = []
+    for seg in res.segments:
+        sr = prove.dev_receipt(image, seg, ps=prove.TEST_PS)
+        recs.append(sys_.lift(sr, dict(pre), pre_mem=seg.pre_mem,
+                              seg_index=seg.index))
+        pre = {4: recs[-1].claim.post_journal,
+               5: recs[-1].claim.post_input,
+               6: recs[-1].claim.post_assumptions,
+               8: recs[-1].claim.post_coproc}
+    cur = recs[0]
+    for r in recs[1:]:
+        cur = sys_.join(cur, r)
+    words = [int.from_bytes(res.journal[i : i + 4], "little")
+             for i in range(0, len(res.journal), 4)]
+    session = succinct.finalize_session(
+        cur, words, entry_pc=image.entry,
+        image_mem_root=paging.image_root(image))
+
+    t = [0.0]
+    log = WorkLog(epoch_seconds=10.0, clock=lambda: t[0])
+    credited = log.record_receipt("p1", session, sys_, seg_po2=po2)
+    assert credited == len(res.segments) << po2
+    # double-count by claim digest rejected
+    with pytest.raises(ValueError):
+        log.record_receipt("p1", session, sys_, seg_po2=po2)
+    # forged segments counter -> claim digest changes -> verify fails
+    forged_claim = dataclasses.replace(cur.claim,
+                                       post_segments=cur.claim.post_segments
+                                       + 100)
+    forged_root = dataclasses.replace(cur, claim=forged_claim)
+    forged = dataclasses.replace(session, root=forged_root)
+    with pytest.raises(ValueError):
+        log.record_receipt("p2", forged, sys_, seg_po2=po2)
