@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -315,7 +316,24 @@ class Executor:
         return bytes(self.load(ptr + i, 1, False) for i in range(length))
 
     # --- main loop ---
-    def run(self) -> SessionResult:
+    def run(self, native: Optional[bool] = None) -> SessionResult:
+        """Execute to completion, cutting segments.
+
+        `native=True` drives the C++ per-segment interpreter
+        (native/executor.cpp bt_run_segment — the cycle-hot half; ~100x
+        the Python loop, required for multi-Mcycle guests like the
+        ECDSA assessor). Default: native when available, Python
+        fallback. Both paths are bit-identical (diffed in tests).
+        """
+        if native is None:
+            native = os.environ.get("BT_NATIVE_EXEC", "1") == "1"
+        if native:
+            try:
+                return self._run_native()
+            except GuestFault:
+                raise
+            except Exception:  # noqa: BLE001 — toolchain/load issues only
+                pass
         segments = []
         total = 0
         while self.exit_code is None:
@@ -325,6 +343,123 @@ class Executor:
             if total > self.max_cycles:
                 raise GuestFault("session cycle limit exceeded")
         journal = b"".join(w.to_bytes(4, "little") for w in self.journal_words)
+        return SessionResult(
+            segments=segments, journal=journal,
+            exit_code=self.exit_code, total_cycles=total,
+            assumptions=self.assumptions, log=bytes(self.log),
+            image_id=self.image.image_id())
+
+    def _run_native(self) -> SessionResult:
+        """C++ segment loop (bt_run_segment); session state stays here."""
+        import ctypes
+
+        from .. import native
+        from ..air.rv32im import CP_IO, MEM_PAGES
+
+        lib = native.executor_lib()
+        inputs = np.asarray(self.input_words, dtype=np.uint32)
+        input_pos = np.array([self.input_pos], dtype=np.int64)
+        regs = np.ascontiguousarray(self.regs, dtype=np.uint32).copy()
+        n = 1 << self.segment_po2
+        rcap = jcap = vcap = n
+        wcap = 2 * n + 64
+        lcap = 1 << 16
+        kcap = max(4, CP_IO // 100 + 1)
+        reads_o = np.zeros(rcap, dtype=np.uint32)
+        journal_o = np.zeros(jcap, dtype=np.uint32)
+        verify_o = np.zeros(vcap, dtype=np.uint32)
+        log_o = np.zeros(lcap, dtype=np.uint8)
+        waddr_o = np.zeros(wcap, dtype=np.uint32)
+        wval_o = np.zeros(wcap, dtype=np.uint32)
+        kec_o = np.zeros(25 * kcap, dtype=np.uint64)
+        tp_o = np.zeros(MEM_PAGES + 2, dtype=np.int64)
+        outc = np.zeros(1, dtype=np.int64)
+        post_pc = np.zeros(1, dtype=np.uint32)
+        halted = np.zeros(1, dtype=np.int32)
+        exit_code = np.zeros(1, dtype=np.int32)
+        nr = np.zeros(1, dtype=np.int32)
+        nj = np.zeros(1, dtype=np.int32)
+        nv = np.zeros(1, dtype=np.int32)
+        nl = np.zeros(1, dtype=np.int32)
+        nw = np.zeros(1, dtype=np.int32)
+        nk = np.zeros(1, dtype=np.int32)
+        ntp = np.zeros(1, dtype=np.int32)
+        err = ctypes.create_string_buffer(256)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+
+        segments = []
+        total = 0
+        while self.exit_code is None:
+            pre_pc = self.pc
+            pre_regs = regs.copy()
+            pre_mem = dict(self.mem)
+            pre_seqs = dict(commit=len(self.journal_words),
+                            read=int(input_pos[0]),
+                            verify=len(self.verify_words),
+                            cpio=self.cp_entries)
+            items = sorted(self.mem.items())
+            maddr = np.array([a for a, _ in items], dtype=np.uint32)
+            mval = np.array([v for _, v in items], dtype=np.uint32)
+            rc = lib.bt_run_segment(
+                vp(maddr), vp(mval), ctypes.c_int(len(items)),
+                ctypes.c_uint32(self.pc), vp(regs),
+                vp(inputs), ctypes.c_int(len(inputs)), vp(input_pos),
+                ctypes.c_int64(self.segment_limit),
+                ctypes.c_int64(self.mem_op_budget),
+                ctypes.c_int(MEM_PAGES), ctypes.c_int(CP_IO),
+                vp(outc), vp(post_pc), vp(halted), vp(exit_code),
+                vp(reads_o), ctypes.c_int(rcap), vp(nr),
+                vp(journal_o), ctypes.c_int(jcap), vp(nj),
+                vp(verify_o), ctypes.c_int(vcap), vp(nv),
+                vp(log_o), ctypes.c_int(lcap), vp(nl),
+                vp(waddr_o), vp(wval_o), ctypes.c_int(wcap), vp(nw),
+                vp(kec_o), ctypes.c_int(kcap), vp(nk),
+                vp(tp_o), ctypes.c_int(tp_o.shape[0]), vp(ntp),
+                err, ctypes.c_int(256))
+            if rc != 0:
+                raise GuestFault(err.value.decode()
+                                 or "native segment execution failed")
+            cycles = int(outc[0])
+            # apply session effects
+            for i in range(int(nj[0])):
+                self.journal_words.append(int(journal_o[i]))
+            for i in range(int(nv[0])):
+                w = int(verify_o[i])
+                self.verify_words.append(w)
+                if len(self.verify_words) % 8 == 0:
+                    self.assumptions.append(b"".join(
+                        x.to_bytes(4, "little")
+                        for x in self.verify_words[-8:]))
+            self.log += bytes(log_o[: int(nl[0])])
+            for i in range(int(nk[0])):
+                pre_lanes = [int(x) for x in kec_o[25 * i : 25 * i + 25]]
+                post = keccak_f1600(pre_lanes)
+                self.keccak_states.append(pre_lanes)
+                self.keccak_claims.append(
+                    keccak_perm_digest(pre_lanes, post))
+            self.cp_entries += 100 * int(nk[0])
+            for i in range(int(nw[0])):
+                self.mem[int(waddr_o[i])] = int(wval_o[i])
+            self.pc = int(post_pc[0])
+            if halted[0]:
+                self.exit_code = int(exit_code[0])
+            seg = Segment(
+                index=len(segments), po2=self.segment_po2, pre_pc=pre_pc,
+                pre_regs=pre_regs.astype(np.uint32), pre_mem=pre_mem,
+                cycles=cycles,
+                reads=[int(x) for x in reads_o[: int(nr[0])]],
+                pre_seqs=pre_seqs, is_final=self.exit_code is not None,
+                image_id=self.image.image_id(),
+                touched_pages=sorted(int(x) for x in tp_o[: int(ntp[0])]),
+                post_mem=dict(self.mem), kec_perms=int(nk[0]))
+            segments.append(seg)
+            total += cycles
+            if total > self.max_cycles:
+                raise GuestFault("session cycle limit exceeded")
+        self.regs = regs.astype(np.uint64)
+        self.input_pos = int(input_pos[0])
+        journal = b"".join(w.to_bytes(4, "little")
+                           for w in self.journal_words)
         return SessionResult(
             segments=segments, journal=journal,
             exit_code=self.exit_code, total_cycles=total,

@@ -149,3 +149,74 @@ def test_keccak_coprocessor_ecall():
     lanes_in = ex.keccak_states[0]
     from boundless_tpu.zkvm.executor import keccak_f1600 as kf
     assert ex.keccak_claims[0] == keccak_perm_digest(lanes_in, kf(list(lanes_in)))
+
+
+def test_native_segmenting_executor_parity():
+    """bt_run_segment sessions are bit-identical to the Python loop:
+    same segments (pre-state, cycles, reads, seqs, kec perms), same
+    journal/assumptions/keccak claims — across io, RAM, M, sub-word,
+    keccak and multi-segment workloads."""
+    from boundless_tpu.zkvm import guests
+
+    cases = [
+        (guests.echo(), guests.words([3, 5, 6, 7]), 8),
+        (guests.loop_guest(), guests.words([700]), 8),
+        (guests.memtest(), guests.words([6, 1, 2, 3, 4, 5, 6]), 9),
+        (guests.muldiv(), guests.words([77, 0]), 10),
+        (guests.subword_guest(), b"", 10),
+        (guests.keccak_guest(), b"", 10),
+        (guests.identity(), guests.words(list(range(1, 9))), 8),
+    ]
+    for image, inp, po2 in cases:
+        a = Executor(image, inp, segment_po2=po2).run(native=False)
+        b = Executor(image, inp, segment_po2=po2).run(native=True)
+        assert a.total_cycles == b.total_cycles
+        assert a.journal == b.journal
+        assert a.exit_code == b.exit_code
+        assert a.assumptions == b.assumptions
+        assert len(a.segments) == len(b.segments)
+        for sa, sb in zip(a.segments, b.segments):
+            assert sa.pre_pc == sb.pre_pc
+            assert (sa.pre_regs == sb.pre_regs).all()
+            assert sa.pre_mem == sb.pre_mem
+            assert sa.cycles == sb.cycles
+            assert sa.reads == sb.reads
+            assert sa.pre_seqs == sb.pre_seqs
+            assert sa.kec_perms == sb.kec_perms
+            assert sa.touched_pages == sb.touched_pages
+            assert sa.post_mem == sb.post_mem
+
+
+def test_native_executor_runs_ecdsa_guest_fast():
+    """The multi-Mcycle ECDSA assessor guest segments through the
+    native loop in seconds (the Python loop would take minutes)."""
+    import time
+
+    from boundless_tpu.market import crypto
+    from boundless_tpu.market.batcher import assessor_guest_input_v2
+    from boundless_tpu.market.types import (Fulfillment, Offer, Predicate,
+                                            ProofRequest, RequestId,
+                                            Requirements, sign_request)
+    from boundless_tpu.zkvm import secp256k1_guest as sg
+
+    w = crypto.Wallet.from_seed(b"native-exec")
+    journal = b"jrnl-ok!"
+    offer = Offer(min_price=1, max_price=1, bidding_start=0,
+                  ramp_up_period=1, lock_timeout=10, timeout=10,
+                  lock_collateral=0)
+    req = ProofRequest(
+        id=RequestId(w.address, 1),
+        requirements=Requirements(
+            image_id="i", predicate=Predicate.digest_match(journal)),
+        image_url="local://x", input_data=b"", offer=offer)
+    fill = Fulfillment(request_id=req.id, journal=journal,
+                       claim_digest=b"c" * 32, seal=None, prover="p")
+    inp = assessor_guest_input_v2([(req, sign_request(req, w), fill)])
+    t0 = time.time()
+    res = Executor(sg.assessor_ecdsa(), inp,
+                   segment_po2=17).run(native=True)
+    elapsed = time.time() - t0
+    assert res.exit_code == 0
+    assert res.total_cycles > 10_000_000
+    assert res.segments  # many segments, all consistent pre/post chains
+    assert elapsed < 120, f"native segmentation too slow: {elapsed:.1f}s"
