@@ -820,21 +820,27 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
 # (air, po2) pair, persistently cached on disk across processes.
 
 
-def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem()):
+def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem(),
+                donate: bool = False):
     """Returns a jitted prover.
 
     Static-ctrl AIRs: fn(data_trace, pub) -> SegmentProof.
     ctrl_dynamic AIRs: fn(data_trace, pub, ctrl_trace) -> SegmentProof.
+
+    `donate=True` donates the data-trace buffer to the computation
+    (callers must pass a fresh trace per proof — the recursion lattice
+    does): at rec_po2 20 the 256 MB trace is the difference between
+    fitting v5e HBM and an XLA OOM (round-5 pipeline measurement).
     """
     if getattr(air, "ctrl_dynamic", False):
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
         def _prove_dyn(data_trace, pub, ctrl_trace):
             return prove(air, data_trace, pub, po2, ps, ctrl_trace)
 
         return _prove_dyn
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def _prove(data_trace, pub):
         return prove(air, data_trace, pub, po2, ps)
 
