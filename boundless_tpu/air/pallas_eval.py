@@ -62,6 +62,15 @@ def enabled() -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _rankup(vec, shape):
+    """1-D value -> `shape` with trailing unit dims, via broadcast_in_dim
+    (Mosaic rejects the equivalent shape-cast reshape of sub-lane-width
+    vectors: "infer-vector-layout: unsupported shape cast")."""
+    vec = jnp.asarray(vec).reshape(-1)
+    assert int(np.prod(shape)) == vec.shape[0] and shape[1:] == (1, 1), shape
+    return jax.lax.broadcast_in_dim(vec, shape, (0,))
+
+
 def t_ext_add(a, b):
     return F.add(a, b)
 
@@ -126,7 +135,7 @@ class TAlg:
     def _table(self, arr_int64, shape):
         """Register/fetch a Montgomery constant table of `shape`."""
         if self._consume is not None:
-            return next(self._consume).reshape(shape)
+            return _rankup(next(self._consume), shape)
         tab = np.asarray(
             (np.asarray(arr_int64, dtype=np.int64) % F.P) * (1 << 32) % F.P,
             dtype=np.uint32)
@@ -183,7 +192,8 @@ class TAlg:
         return self._table(vec, (4, 1, 1))
 
     def ext_powers(self, x, n: int):
-        x = jnp.reshape(jnp.asarray(x, _U32), (4, 1, 1))
+        x = jnp.asarray(x, _U32)
+        x = _rankup(x, (4, 1, 1)) if x.shape != (4, 1, 1) else x
         pows = [self.ext_const([1, 0, 0, 0])]
         for _ in range(n - 1):
             pows.append(t_ext_mul(pows[-1], x))

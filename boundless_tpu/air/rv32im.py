@@ -666,9 +666,9 @@ class Rv32imAir(dsl.Air):
 
     def pallas_pub_unpack(self, sm):
         """(256,) operand -> (globals list, pub view, S_pub) in-kernel."""
-        globals_list = [sm[4 * i : 4 * i + 4].reshape(4, 1, 1)
-                        for i in range(2)]
-        s_pub = sm[8:12].reshape(4, 1, 1)
+        rank = lambda v: jax.lax.broadcast_in_dim(v, (4, 1, 1), (0,))
+        globals_list = [rank(sm[4 * i : 4 * i + 4]) for i in range(2)]
+        s_pub = rank(sm[8:12])
         pub = _KernelPub(
             pre_pc=sm[12], post_pc=sm[13], halted=sm[14],
             pre_seqs=sm[15:19], post_seqs=sm[19:23],

@@ -38,7 +38,10 @@ from jax.experimental import pallas as pl
 
 from . import field as F
 
-TILE = 512  # lanes per kernel program (multiple of 128)
+TILE = 128   # lanes per kernel program (multiple of 128)
+MAX_M = 512  # sub-transform rows per tile (VMEM: the unrolled stage
+#              chain keeps ~log2(M) intermediates live; M=512, TILE=128
+#              stays well inside Mosaic's 16M scoped-vmem budget)
 MIN_N = 1 << 12  # below this the plain Stockham wins
 
 
@@ -123,8 +126,17 @@ def _mid_twiddles(n1: int, n2: int, forward: bool):
 
 def _split(n: int):
     logn = n.bit_length() - 1
-    log1 = (logn + 1) // 2
+    log1 = min((logn + 1) // 2, MAX_M.bit_length() - 1)
     return 1 << log1, 1 << (logn - log1)
+
+
+def _leading_ntt(x2d, forward: bool):
+    """Leading-axis NTT of (m, L): Pallas tile when m fits VMEM, else
+    recurse through another four-step level."""
+    m = x2d.shape[0]
+    if m <= MAX_M:
+        return _sub_ntt(x2d, forward)
+    return ntt_four_step(x2d, forward)
 
 
 def ntt_four_step(x, forward: bool = True):
@@ -134,9 +146,9 @@ def ntt_four_step(x, forward: bool = True):
     c = int(np.prod(batch_shape)) if batch_shape else 1
     n1, n2 = _split(n)
     xv = x.reshape(n1, n2 * c)
-    a = _sub_ntt(xv, forward)                        # (n1, n2*c)
+    a = _leading_ntt(xv, forward)                    # (n1, n2*c)
     tw = jnp.asarray(_mid_twiddles(n1, n2, forward))
     b = F.mul(a.reshape(n1, n2, c), tw[:, :, None])
     bt = jnp.swapaxes(b, 0, 1)                       # (n2, n1, c)
-    y = _sub_ntt(bt.reshape(n2, n1 * c), forward)
+    y = _leading_ntt(bt.reshape(n2, n1 * c), forward)
     return y.reshape((n,) + batch_shape)
