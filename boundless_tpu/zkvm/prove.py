@@ -76,7 +76,11 @@ class SegmentReceipt:
 
 @functools.lru_cache(maxsize=None)
 def _prover(po2: int, ps: stark.ProofSystem, variant: str = "rv32im"):
-    return stark.make_prover(_AIRS[variant], po2, ps)
+    # prove_segment builds a fresh data trace per call, so the buffer is
+    # donated: at po2 17 / rate 1/4 the ~200 MB trace is the margin that
+    # kept the q50/e4 prover inside v5e HBM (round-5 pipeline runs OOMed
+    # by 101 MB without it).
+    return stark.make_prover(_AIRS[variant], po2, ps, donate=True)
 
 
 @functools.lru_cache(maxsize=None)

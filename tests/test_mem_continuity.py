@@ -268,7 +268,7 @@ def test_forged_post_mem_root_unsatisfiable_in_lift():
                                      commit_expand=2)
     seg = res.segments[0]
     sr = prove.prove_segment(img, seg, ps=seg_ps)
-    prog = succinct.build_lift(PO2, seg_ps)
+    prog = succinct.build_lift(PO2, seg_ps, sr.variant)
     n = 1 << (len(prog.rows) + 1).bit_length()
     prog.finalize(n)
     pre_root, post_root, _ = succinct.paging_walk(sr.pub, seg.pre_mem)
@@ -276,7 +276,7 @@ def test_forged_post_mem_root_unsatisfiable_in_lift():
                                     pre_mem_root=pre_root,
                                     post_mem_root=post_root)
     wit = succinct.lift_witness(sr.pub, sr.proof, PO2, seg_ps,
-                                pre_mem=seg.pre_mem)
+                                pre_mem=seg.pre_mem, variant=sr.variant)
     # honest witness + honest claim: satisfiable
     vm.evaluate_auto(prog, wit, list(claim.digest()) + [0] * 16)
     # forged post root: no witness can satisfy the program for this

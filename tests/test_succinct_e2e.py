@@ -19,7 +19,7 @@ from boundless_tpu.zkvm.executor import Executor
 
 SEG_PO2 = 8
 SEG_PS = stark.ProofSystem(queries=2, fri_min_degree=16, commit_expand=2)
-REC_PO2 = 16
+REC_PO2 = 17  # lift grew past 2^16 with the claim-v3 cpio machinery
 REC_PS = stark.ProofSystem(queries=2, fri_min_degree=16, commit_expand=2)
 
 PARAMS = succinct.SuccinctParams(seg_po2=SEG_PO2, seg_ps=SEG_PS,
