@@ -821,7 +821,7 @@ def verify(air: Air, proof: SegmentProof, pub, po2: int,
 
 
 def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem(),
-                donate: bool = False):
+                donate: bool = False, fit_memory: bool = False):
     """Returns a jitted prover.
 
     Static-ctrl AIRs: fn(data_trace, pub) -> SegmentProof.
@@ -829,18 +829,29 @@ def make_prover(air: Air, po2: int, ps: ProofSystem = ProofSystem(),
 
     `donate=True` donates the data-trace buffer to the computation
     (callers must pass a fresh trace per proof — the recursion lattice
-    does): at rec_po2 20 the 256 MB trace is the difference between
-    fitting v5e HBM and an XLA OOM (round-5 pipeline measurement).
+    does). `fit_memory=True` trades schedule overlap for peak HBM
+    (disables the latency-hiding scheduler): the rec_po2-20 rate-1/4
+    recursion prover compiles 101 MB past v5e HBM with the default
+    schedule (round-5 pipeline measurement), and overlap buffers are
+    exactly the kind of slack this reclaims.
     """
+    donate_args = (0,) if donate else ()
+    options = ({"xla_tpu_enable_latency_hiding_scheduler": "false"}
+               if fit_memory else None)
+
+    def _jit(fn):
+        return jax.jit(fn, donate_argnums=donate_args,
+                       compiler_options=options)
+
     if getattr(air, "ctrl_dynamic", False):
 
-        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+        @_jit
         def _prove_dyn(data_trace, pub, ctrl_trace):
             return prove(air, data_trace, pub, po2, ps, ctrl_trace)
 
         return _prove_dyn
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @_jit
     def _prove(data_trace, pub):
         return prove(air, data_trace, pub, po2, ps)
 

@@ -286,7 +286,8 @@ class CoprocSystem:
         self.allowed_ids = [self.control_ids[k] for k in COPROC_KINDS]
         self.allowed_root = claims.allowed_set_root(self.allowed_ids)
         self._prover = stark.make_prover(rair.AIR, params.rec_po2,
-                                         params.rec_ps, donate=True)
+                                         params.rec_ps, donate=True,
+                                         fit_memory=True)
         self._verifier = stark.make_verifier(rair.AIR, params.rec_po2,
                                              params.rec_ps)
 

@@ -704,7 +704,8 @@ class SuccinctSystem:
         self.allowed_root = claims.allowed_set_root(self.allowed_ids)
         # one compiled RecursionAir prover/verifier serves all programs
         self._prover = stark.make_prover(rair.AIR, params.rec_po2,
-                                         params.rec_ps, donate=True)
+                                         params.rec_ps, donate=True,
+                                         fit_memory=True)
         self._verifier = stark.make_verifier(rair.AIR, params.rec_po2,
                                              params.rec_ps)
 
