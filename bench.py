@@ -185,13 +185,22 @@ def main():
         prover = stark.make_prover(air, PO2, PS)
         run = lambda: prover(data, pub, ctrl)
 
-    # compile + warmup
-    jax.block_until_ready(run())
+    # compile + warmup. Block on the flattened array leaves explicitly:
+    # block_until_ready on the SegmentProof dataclass was observed to
+    # return before device completion in the vmapped BATCH mode (the
+    # round-5 dp-scaling rerun measured dispatch only — 285 "Mcycles/s").
+    def _sync(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
+        return out
+
+    _sync(run())
 
     t0 = time.time()
     for _ in range(REPS):
         proof = run()
-        jax.block_until_ready(proof)
+        _sync(proof)
     elapsed = (time.time() - t0) / REPS
 
     cycles = seg.cycles * BATCH
