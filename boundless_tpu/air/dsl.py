@@ -133,6 +133,9 @@ class BaseAlg:
 
         return _weighted_col_sum(x, w_ext)
 
+    def gslice(self, x, a, b):
+        return x[..., a:b]
+
     def gshift_sll(self, x, s):
         g = x.shape[-1]
         return jnp.pad(x[:, : g - s], ((0, 0), (s, 0))) if s else x
@@ -255,6 +258,9 @@ class ExtAlg:
     def gweighted_ext(self, x, w_ext):
         return F.sum_mod(F.ext_mul(x, w_ext), axis=0)
 
+    def gslice(self, x, a, b):
+        return x[a:b]
+
     def gshift_sll(self, x, s):
         g = x.shape[0]
         return jnp.pad(x[: g - s], ((s, 0), (0, 0))) if s else x
@@ -371,6 +377,9 @@ class DegreeAlg:
         x = np.atleast_1d(np.asarray(x))
         w = np.atleast_1d(np.asarray(w_ext))[: len(x)]
         return int(np.max(x + w))
+
+    def gslice(self, x, a, b):
+        return np.atleast_1d(x)[a:b]
 
     def gshift_sll(self, x, s):
         x = np.atleast_1d(x)

@@ -284,30 +284,45 @@ class KeccakAir(dsl.Air):
                                   d.datab(T["c_xm1"]),
                                   d.datab(T["c_xp1"])))))
         # ---- chi (+ iota on lane (0,0)) transition, gated in-perm ----
-        # per-bit scalar expressions (the alg API has no group slicing;
-        # graph size ~10k scalar ops is acceptable for a one-time jit)
-        def bbit(x, y, z):
-            return d.data(DC.b.start + _abit(x, y, z % LANE_BITS))
-
-        def xor2(x, y):
-            t = m(x, y)
-            return sub(add(x, y), add(t, t))
-
+        # GROUPED over all 1600 state bits (round-5 compile-latency fix:
+        # the per-bit scalar form traced ~13k ops and pushed the XLA
+        # compile of this 4048-col AIR past 40 minutes; the grouped form
+        # is ~15 ops with bit-identical values — iota rides an all-bits
+        # xor against a vector that is zero outside lane (0,0), and
+        # xor2(e, 0) == e exactly).
         rc_grp = [alg.gweighted(rr_blk, T["rc_bits"][:, z])
                   for z in range(LANE_BITS)]
-        e_full = [None] * STATE_BITS
+        idx0, idx1, idx2 = [], [], []
         for x in range(5):
             for y in range(5):
                 for z in range(LANE_BITS):
-                    q = m(sub(one, bbit((x + 1) % 5, y, z)),
-                          bbit((x + 2) % 5, y, z))
-                    e = xor2(bbit(x, y, z), q)
-                    if x == 0 and y == 0:
-                        e = xor2(e, rc_grp[z])
-                    e_full[_abit(x, y, z)] = e
+                    idx0.append(DC.b.start + _abit(x, y, z))
+                    idx1.append(DC.b.start + _abit((x + 1) % 5, y, z))
+                    idx2.append(DC.b.start + _abit((x + 2) % 5, y, z))
+        # NOTE: idx order is (x, y, z) loop order; the output slot is
+        # _abit(x, y, z) = 64*(5y+x)+z, so scatter back via a table
+        order = [0] * STATE_BITS
+        pos = 0
+        for x in range(5):
+            for y in range(5):
+                for z in range(LANE_BITS):
+                    order[_abit(x, y, z)] = pos
+                    pos += 1
+        B0 = d.datab([idx0[order[j]] for j in range(STATE_BITS)])
+        B1 = d.datab([idx1[order[j]] for j in range(STATE_BITS)])
+        B2 = d.datab([idx2[order[j]] for j in range(STATE_BITS)])
+        ones1600 = alg.gconst(np.ones(STATE_BITS, dtype=np.int64))
+        Q = gm(gs(ones1600, B1), B2)
+        E = gxor2(B0, Q)
+        zero_s = alg.zero()
+        rc_vec = alg.stack(
+            [rc_grp[j] if j < LANE_BITS else zero_s
+             for j in range(STATE_BITS)])  # lane (0,0) = bits 0..63
+        E = gxor2(E, rc_vec)
+        e_grp = E
         c.append(VecVal(gm(B(not_perm_end),
                            gs(nx.datab(slice(DC.a.start, DC.a.stop)),
-                              alg.stack(e_full)))))
+                              e_grp))))
 
         # ---- limb carry + boundary binding ----
         in_l = d.datab(DC.in_limbs)
@@ -324,12 +339,11 @@ class KeccakAir(dsl.Air):
                 idx = [DC.a.start + LANE_BITS * lane + 16 * s_ + i
                        for i in range(16)]
                 in_binds.append(alg.gweighted(d.datab(idx), W16))
-                acc = None
-                for i in range(16):
-                    j = LANE_BITS * lane + 16 * s_ + i
-                    t = m(alg.const(int(W16[i])), e_full[j])
-                    acc = t if acc is None else add(acc, t)
-                out_binds.append(acc)
+                # grouped 16-bit slice of the chi output (same values as
+                # the former per-bit constant-multiply chain)
+                sl = alg.gslice(e_grp, LANE_BITS * lane + 16 * s_,
+                                LANE_BITS * lane + 16 * s_ + 16)
+                out_binds.append(alg.gweighted(sl, W16))
         c.append(VecVal(gm(B(rr[0]), gs(in_l, alg.stack(in_binds)))))
         # at the last round, e_full IS the permutation output (iota of
         # round 23 rides rc_grp through the rr one-hot)

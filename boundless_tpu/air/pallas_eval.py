@@ -230,6 +230,9 @@ class TAlg:
         # x (G, SB, 128); w_ext (G, 4, 1, 1) -> (4, SB, 128)
         return F.sum_mod(F.mul(w_ext, x[:, None]), axis=0)
 
+    def gslice(self, x, a, b):
+        return x[a:b]
+
     def gshift_sll(self, x, s):
         if not s:
             return x

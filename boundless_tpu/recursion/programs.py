@@ -250,6 +250,9 @@ class ProgAlg:
             acc = t if acc is None else self.p.add(acc, t)
         return acc if acc is not None else self.zero()
 
+    def gslice(self, x, a, b):
+        return list(x[a:b])
+
     def gshift_sll(self, x, s):
         z = self.zero()
         return ([z] * s + list(x[: len(x) - s])) if s else list(x)
