@@ -82,8 +82,11 @@ def pipeline_main():
     system = prove_sys = None
     from boundless_tpu.recursion.succinct import SuccinctParams, get_system
 
+    variants = tuple(os.environ.get("BENCH_VARIANTS",
+                                    "rv32im,rv32i").split(","))
     system = get_system(SuccinctParams(seg_po2=seg_po2, seg_ps=seg_ps,
-                                       rec_po2=rec_po2, rec_ps=rec_ps))
+                                       rec_po2=rec_po2, rec_ps=rec_ps,
+                                       variants=variants))
     from boundless_tpu.cluster.agent import _segment_pre_chains
 
     meta = _segment_pre_chains(ex, res)

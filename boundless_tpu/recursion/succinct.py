@@ -630,6 +630,12 @@ class SuccinctParams:
     seg_ps: stark.ProofSystem
     rec_po2: int  # uniform recursion proof size (must fit every program)
     rec_ps: stark.ProofSystem
+    # lift variants in the allowed set. A deployment pins the program
+    # set it serves; rv32i-only lattices exist because the full-layout
+    # lift at 100 queries/rate-1/2 is ~1.18M wire rows (past 2^20) —
+    # the rv32im lift at that soundness needs rec_po2 21 or the rate-1/4
+    # sizing (docs/ROUND5.md).
+    variants: tuple = ("rv32im", "rv32i")
 
 
 @dataclasses.dataclass
@@ -670,14 +676,18 @@ class SuccinctSystem:
     def __init__(self, params: SuccinctParams, coproc=None):
         self.params = params
         n = 1 << params.rec_po2
-        self.progs: Dict[str, vm.Prog] = {
-            "lift": build_lift(params.seg_po2, params.seg_ps, "rv32im"),
-            "lift_i": build_lift(params.seg_po2, params.seg_ps, "rv32i"),
-            "join": build_join(params.rec_po2, params.rec_ps),
-            "resolve": build_resolve(params.rec_po2, params.rec_ps),
-        }
+        self.progs: Dict[str, vm.Prog] = {}
+        if "rv32im" in params.variants:
+            self.progs["lift"] = build_lift(params.seg_po2, params.seg_ps,
+                                            "rv32im")
+        if "rv32i" in params.variants:
+            self.progs["lift_i"] = build_lift(params.seg_po2,
+                                              params.seg_ps, "rv32i")
+        self.progs["join"] = build_join(params.rec_po2, params.rec_ps)
+        self.progs["resolve"] = build_resolve(params.rec_po2,
+                                              params.rec_ps)
         self.coproc_sys = None
-        self.kinds = list(PROGRAM_KINDS)
+        self.kinds = [k for k in PROGRAM_KINDS if k in self.progs]
         if coproc is not None:
             from ..zkvm import coproc as zco
             from .coproc_succinct import get_system as cs_get
