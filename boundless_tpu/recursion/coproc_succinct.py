@@ -139,7 +139,17 @@ def build_lift_keccak(kec_po2: int, kec_ps: stark.ProofSystem) -> vm.Prog:
     """In-circuit KeccakAir verify + coproc claim derivation.
 
     Witness order: serialized keccak proof (programs.serialize_proof),
-    then pre_chain (2 packed wires), then [pre_count, 0, 0, 0].
+    then pre_chain (2 packed wires), [pre_count, 0, 0, 0], and kmax
+    fold-flag bits (1 for each REAL permutation, prefix-structured).
+
+    The batch's PUBLIC mask column is 1 for every slot (the static
+    circuit runs zero-state permutations in padding slots and the LogUp
+    balance binds them all), so which perms enter the claim chain is a
+    prefix-constrained WITNESS choice: every folded digest still comes
+    from a proven permutation, and any fold selection that differs from
+    the guest's actual ecall chain fails the resolve_coproc span
+    equality — the prover can neither omit a requested permutation nor
+    smuggle a padding digest in.
     """
     kmax = K.max_perms(kec_po2)
     p = vm.Prog(f"lift_keccak-p{kec_po2}q{kec_ps.queries}"
@@ -157,8 +167,7 @@ def build_lift_keccak(kec_po2: int, kec_ps: stark.ProofSystem) -> vm.Prog:
     prev_mask = None
     for k in range(kmax):
         row = pub.states[k]
-        mask = row[0]
-        p.assert_zero(p.mul(mask, p.addc(mask, neg1)))  # boolean
+        mask = p.input_bit()  # fold flag (witness; boolean-constrained)
         if prev_mask is not None:  # padding only at the tail
             p.assert_zero(p.mul(mask, p.addc(prev_mask, neg1)))
         prev_mask = mask
@@ -316,6 +325,9 @@ class CoprocSystem:
                                        self.params.kec_ps)
         out += programs._pack4([int(x) for x in pre_chain])
         out.append((int(pre_count), 0, 0, 0))
+        kmax = K.max_perms(self.params.kec_po2)
+        for k in range(kmax):  # fold flags: real perms only
+            out.append((1 if k < int(kec_receipt.count) else 0, 0, 0, 0))
         return out
 
     def lift(self, kec_receipt,
