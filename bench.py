@@ -188,14 +188,17 @@ def main():
         prover = stark.make_prover(air, PO2, PS)
         run = lambda: prover(data, pub, ctrl)
 
-    # compile + warmup. Block on the flattened array leaves explicitly:
-    # block_until_ready on the SegmentProof dataclass was observed to
-    # return before device completion in the vmapped BATCH mode (the
-    # round-5 dp-scaling rerun measured dispatch only — 285 "Mcycles/s").
+    # compile + warmup. jax.block_until_ready does a BATCHED await (one
+    # relay round-trip); blocking leaves one-by-one costs a relay RTT
+    # per array and halved the measured number (round-5 finding). The
+    # single explicit leaf block after it guards against the vmapped
+    # BATCH mode's early return (285 "Mcycles/s" artifact).
     def _sync(out):
-        for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, "block_until_ready"):
-                leaf.block_until_ready()
+        out = jax.block_until_ready(out)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "block_until_ready")]
+        if leaves:
+            leaves[-1].block_until_ready()
         return out
 
     _sync(run())
